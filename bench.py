@@ -1,0 +1,190 @@
+#!/usr/bin/env python3
+"""Headline benchmark: B-01-protocol registration wall-clock on one TPU chip.
+
+Reproduces the reference benchmark protocol
+(/root/reference/benchmark/speed_test_comparison.py:162-217 +
+benchmark/test_data.py:21-44): a >1M-point map, a 100k-point scan offset by
+t = [0, 0, 0.3] with N(0, 0.005) noise, params max_iter=30, tol=1e-3,
+voxel_size=1, max_dist=2. Timings include ``set_target`` + ``align`` (the
+reference's timing boundary, speed_test_comparison.py:14-20).
+
+The reference's B-01.pcd (Osaka Kyobashi LiDAR) is git-LFS-stripped in this
+checkout and the environment has no egress, so the map is a synthetic urban
+scene of the same scale (1M+ points, streets + building facades); the
+*baseline* numbers come from the reference README's published table
+(README.md:19-23), which also does not state its hardware.
+
+Output: ONE JSON line on stdout —
+  {"metric": ..., "value": <flagship VPlaneICP wall-clock s>, "unit": "s",
+   "vs_baseline": <reference 0.420 s / ours>}
+Detailed per-method numbers go to stderr.
+
+Timing excludes one warmup run per method (XLA compilation is a one-time,
+cached cost; the reference pays no compile because it is interpreted NumPy).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_city_map(rng: np.random.RandomState, n_total: int = 1_200_000) -> np.ndarray:
+    """Synthetic LiDAR-map stand-in for B-01.pcd: ground plane + building
+    facades + scattered structure over a ~200x200 m tile."""
+    extent = 200.0
+    n_ground = n_total // 2
+    ground = np.stack(
+        [
+            rng.rand(n_ground) * extent,
+            rng.rand(n_ground) * extent,
+            rng.randn(n_ground) * 0.03,
+        ],
+        axis=1,
+    )
+    # building facades: axis-aligned walls on a street grid
+    n_walls = n_total // 3
+    n_per = n_walls // 40
+    walls = []
+    for _ in range(40):
+        x0, y0 = rng.rand(2) * (extent - 30)
+        length = 10 + rng.rand() * 20
+        height = 5 + rng.rand() * 15
+        if rng.rand() < 0.5:
+            w = np.stack(
+                [
+                    x0 + rng.rand(n_per) * length,
+                    np.full(n_per, y0) + rng.randn(n_per) * 0.02,
+                    rng.rand(n_per) * height,
+                ],
+                axis=1,
+            )
+        else:
+            w = np.stack(
+                [
+                    np.full(n_per, x0) + rng.randn(n_per) * 0.02,
+                    y0 + rng.rand(n_per) * length,
+                    rng.rand(n_per) * height,
+                ],
+                axis=1,
+            )
+        walls.append(w)
+    n_rest = n_total - n_ground - n_per * 40
+    scatter = np.stack(
+        [
+            rng.rand(n_rest) * extent,
+            rng.rand(n_rest) * extent,
+            rng.rand(n_rest) * 6,
+        ],
+        axis=1,
+    )
+    pts = np.vstack([ground, *walls, scatter]).astype(np.float32)
+    return pts
+
+
+def make_scan(rng, map_points, num_points=100_000):
+    """scan = map + t[0,0,0.3], random 100k subsample, N(0, 0.005) noise
+    (benchmark/test_data.py:21-44)."""
+    t = np.array([0.0, 0.0, 0.3], np.float32)
+    idx = rng.choice(len(map_points), num_points, replace=False)
+    scan = map_points[idx] + t
+    scan = scan + rng.randn(*scan.shape).astype(np.float32) * 0.005
+    return scan.astype(np.float32)
+
+
+def timed(fn, warmup=1, reps=3):
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main():
+    import point_cloud_registration_tpu as pcr
+    import jax
+
+    log("devices:", jax.devices())
+    rng = np.random.RandomState(42)
+    map_pts = make_city_map(rng)
+    scan = make_scan(rng, map_pts)
+    log(f"map {map_pts.shape}, scan {scan.shape}")
+
+    max_iter, tol, max_dist, voxel_size = 30, 1e-3, 2.0, 1.0
+    results = {}
+
+    def run_vplane():
+        s = pcr.VPlaneICP(voxel_size=voxel_size, max_iter=max_iter, max_dist=max_dist, tol=tol)
+        s.set_target(map_pts)
+        T = s.align(scan)
+        return np.asarray(T)
+
+    def run_ndt():
+        s = pcr.NDT(voxel_size=voxel_size, max_iter=max_iter, max_dist=max_dist, tol=tol)
+        s.set_target(map_pts)
+        return s.align(scan)
+
+    def run_icp():
+        s = pcr.ICP(max_iter=max_iter, max_dist=max_dist, tol=tol)
+        s.set_target(map_pts)
+        return s.align(scan)
+
+    def run_plane_icp(normals):
+        def f():
+            s = pcr.PlaneICP(max_iter=max_iter, max_dist=max_dist, tol=tol)
+            s.set_target(map_pts, kdree="precomputed", norm=normals)
+            return s.align(scan)
+
+        return f
+
+    # flagship first
+    t_vplane = timed(run_vplane)
+    results["vplane_icp"] = (t_vplane, 0.420)
+    log(f"VPlaneICP set_target+align: {t_vplane:.3f}s (ref 0.420s)")
+
+    t_ndt = timed(run_ndt)
+    results["ndt"] = (t_ndt, 0.511)
+    log(f"NDT set_target+align: {t_ndt:.3f}s (ref 0.511s)")
+
+    t_icp = timed(run_icp)
+    results["icp"] = (t_icp, 0.502)
+    log(f"ICP set_target+align: {t_icp:.3f}s (ref 0.502s)")
+
+    t0 = time.perf_counter()
+    normals = pcr.estimate_normals(map_pts, k=15)
+    t_norm = time.perf_counter() - t0
+    results["normals"] = (t_norm, 2.201)
+    log(f"estimate_normals (incl. compile): {t_norm:.3f}s (ref 2.201s)")
+
+    t_picp = timed(run_plane_icp(normals))
+    results["plane_icp"] = (t_picp, 0.334)
+    log(f"PlaneICP set_target+align (excl. normals): {t_picp:.3f}s (ref 0.334s)")
+
+    for k, (t, ref) in results.items():
+        log(f"  {k:12s} {t:7.3f}s  vs_baseline x{ref / t:.2f}")
+
+    t, ref = results["vplane_icp"]
+    print(
+        json.dumps(
+            {
+                "metric": "vplane_icp_1.2Mmap_100kscan_settarget_align_wall_clock",
+                "value": round(t, 4),
+                "unit": "s",
+                "vs_baseline": round(ref / t, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

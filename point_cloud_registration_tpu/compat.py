@@ -1,0 +1,160 @@
+"""Drop-in object wrappers matching the reference's non-solver classes.
+
+The functional core (ops/) is the real API; these shims reproduce the
+reference's stateful surfaces — ``VoxelGrid`` (voxel.py:52-179) and the
+``KDTree`` ``query(points, k) -> (dist, idx)`` contract (kdtree.py:18-68) —
+so reference scripts and tests port with an import change. The kd-tree
+*capability* is served by the voxel-grid engine (SURVEY §2.4: kd-trees are
+pointer-chasing and TPU-hostile); exactness caveats are on the class
+docstrings.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from point_cloud_registration_tpu.ops import knn as knn_ops
+from point_cloud_registration_tpu.ops.eigh3 import unpack_sym3
+from point_cloud_registration_tpu.ops.hashgrid import build_grid, search_offsets
+from point_cloud_registration_tpu.ops.normals import sample_knn_radius
+from point_cloud_registration_tpu.ops.voxelize import (
+    VoxelMap,
+    build_voxel_map,
+    invert_cov_packed,
+)
+
+
+class NeighborIndex:
+    """Grid-backed neighbor index with the reference ``KDTree`` contract.
+
+    ``query(points, k=1) -> (dist, idx)`` like pykdtree/scipy
+    (kdtree.py:18-68). Candidates come from a 3^3 cell window sized to the
+    sampled k-NN radius: results are exact whenever the true neighbor lies
+    within one cell and the per-cell cap is not exceeded; points with no
+    candidate in the window return ``dist = inf, idx = -1`` (such matches
+    would be gated away by every solver's max_dist anyway).
+    """
+
+    def __init__(self, points, cell_size: float | None = None, cell_cap: int = 32,
+                 radius_k: int = 8):
+        self.points = jnp.asarray(points, dtype=jnp.float32)
+        if cell_size is None:
+            cell_size = max(sample_knn_radius(self.points, radius_k), 1e-3)
+        self.cell_size = float(cell_size)
+        self.cell_cap = cell_cap
+        self.grid, _, self.buckets = build_grid(
+            self.points, self.cell_size, with_buckets=True
+        )
+        self._offsets = search_offsets(self.cell_size, self.cell_size)
+
+    def query(self, points, k: int = 1):
+        q = jnp.asarray(points, dtype=jnp.float32)
+        if k == 1:
+            res = knn_ops.nearest_point(
+                self.grid, self.buckets, self.points, q, self._offsets, cap=self.cell_cap
+            )
+            return np.asarray(jax.device_get(res.dist)), np.asarray(jax.device_get(res.idx))
+        d, i = knn_ops.knn_points(
+            self.grid, self.buckets, self.points, q, self._offsets, cap=self.cell_cap, k=k
+        )
+        return np.asarray(jax.device_get(d)), np.asarray(jax.device_get(i))
+
+
+# Name parity with the reference export (kdtree.py / __init__.py:7).
+KDTree = NeighborIndex
+
+
+class VoxelGrid:
+    """Stateful wrapper over :class:`~...ops.voxelize.VoxelMap`
+    (reference voxel.py:52-179 surface).
+
+    ``mean`` / ``cov`` / ``norm`` / ``icov`` are exposed compacted (valid
+    voxels only) as NumPy for drop-in use; ``query`` serves the nearest
+    *valid* voxel per point with requested fields plus ``dist``.
+    """
+
+    def __init__(self, voxel_size: float, min_points: int = 10):
+        self.voxel_size = voxel_size
+        self.min_points = min_points
+        self._map: VoxelMap | None = None
+        self._compact: dict[str, np.ndarray] = {}
+
+    @property
+    def voxel_map(self) -> VoxelMap:
+        if self._map is None:
+            raise ValueError("set_points has not been called")
+        return self._map
+
+    def set_points(self, points) -> None:
+        """Build per-voxel Gaussian stats (voxel.py:104-169)."""
+        self._map = build_voxel_map(
+            points, self.voxel_size, min_points=self.min_points, with_icov=False
+        )
+        self._compact = {}
+
+    def calc_icov(self) -> None:
+        """Attach analytic inverse covariances (voxel.py:69-102)."""
+        m = self.voxel_map
+        self._map = m._replace(icovs=invert_cov_packed(m.covs))
+        self._compact.pop("icov", None)
+
+    def _valid_order(self) -> np.ndarray:
+        valid = np.asarray(jax.device_get(self.voxel_map.valid))
+        return np.where(valid)[0]
+
+    def _compacted(self, name: str) -> np.ndarray:
+        if name not in self._compact:
+            m = self.voxel_map
+            sel = self._valid_order()
+            if name == "mean":
+                arr = np.asarray(jax.device_get(m.means))[sel]
+            elif name == "norm":
+                arr = np.asarray(jax.device_get(m.normals))[sel]
+            elif name == "cov":
+                arr = np.asarray(jax.device_get(unpack_sym3(m.covs)))[sel]
+            elif name == "icov":
+                if m.icovs is None:
+                    raise ValueError("call calc_icov() first")
+                arr = np.asarray(jax.device_get(unpack_sym3(m.icovs)))[sel]
+            elif name == "count":
+                arr = np.asarray(jax.device_get(m.counts))[sel]
+            else:
+                raise KeyError(name)
+            self._compact[name] = arr
+        return self._compact[name]
+
+    mean = property(lambda self: self._compacted("mean"))
+    norm = property(lambda self: self._compacted("norm"))
+    cov = property(lambda self: self._compacted("cov"))
+    icov = property(lambda self: self._compacted("icov"))
+
+    def query(self, points, names):
+        """Nearest-valid-voxel fields for each query point (voxel.py:171-179).
+
+        Returns ``{name: (N, ...) field, 'dist': (N,)}``; unmatched points
+        (no voxel in the search window) get ``dist = inf``.
+        """
+        m = self.voxel_map
+        q = jnp.asarray(points, dtype=jnp.float32)
+        # Window sized for the solvers' default gate (max_dist = 2).
+        offsets = search_offsets(max(2.0, self.voxel_size), self.voxel_size)
+        res = knn_ops.nearest_voxel(m.grid, m.means, m.valid, q, offsets)
+        slot = jnp.clip(res.idx, 0, m.means.shape[0] - 1)
+        out = {"dist": np.asarray(jax.device_get(res.dist))}
+        for name in names:
+            if name == "mean":
+                field = m.means[slot]
+            elif name == "norm":
+                field = m.normals[slot]
+            elif name == "cov":
+                field = unpack_sym3(m.covs)[slot]
+            elif name == "icov":
+                if m.icovs is None:
+                    raise ValueError("call calc_icov() first")
+                field = unpack_sym3(m.icovs)[slot]
+            else:
+                raise KeyError(name)
+            out[name] = np.asarray(jax.device_get(field))
+        return out

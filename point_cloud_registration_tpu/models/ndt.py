@@ -1,0 +1,91 @@
+"""NDT registration (Gauss-Newton on the Mahalanobis objective), TPU-native.
+
+Objective ``sum_i (T p_i - mu_i)^T Sigma_i^{-1} (T p_i - mu_i)`` against
+nearest-voxel Gaussians — the reference solver at
+/root/reference/point_cloud_registration/ndt.py:12-57. As in the reference
+this is plain GN on the Mahalanobis cost, *not* Magnusson's
+exponential-likelihood NDT (SURVEY §2 C10). Inverse covariances use the
+analytic adjugate form with the reference's singular guard
+(voxel.py:69-102).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from point_cloud_registration_tpu.core.config import NDTConfig
+from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
+from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
+from point_cloud_registration_tpu.models.base import AlignResult, Registration
+from point_cloud_registration_tpu.ops.hashgrid import search_offsets
+from point_cloud_registration_tpu.ops.knn import nearest_voxel
+from point_cloud_registration_tpu.ops.reduce import ndt_stats
+from point_cloud_registration_tpu.ops.voxelize import VoxelMap, build_voxel_map
+
+
+def build_ndt_target(points, cfg: NDTConfig) -> VoxelMap:
+    """Voxel map with inverse covariances (``NDT.set_target``, ndt.py:18-22)."""
+    return build_voxel_map(
+        points, cfg.voxel_size, min_points=cfg.min_points, with_icov=True
+    )
+
+
+def ndt_solver_stats(vmap_: VoxelMap, source, src_weight, T, cfg: NDTConfig) -> GNStats:
+    """Nearest-voxel correspondence + Mahalanobis linearization (ndt.py:24-57)."""
+    R, _ = makeRt(T)
+    src_trans = transform_points(T, source)
+    offsets = search_offsets(cfg.max_dist, cfg.voxel_size)
+    nn = nearest_voxel(vmap_.grid, vmap_.means, vmap_.valid, src_trans, offsets)
+    w = src_weight * (nn.dist < cfg.max_dist) * (nn.idx >= 0)
+    safe = jnp.clip(nn.idx, 0, vmap_.means.shape[0] - 1)
+    means = vmap_.means[safe]
+    icovs = vmap_.icovs[safe]
+    return ndt_stats(source, src_trans, means, icovs, w, R)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def ndt_align(vmap_: VoxelMap, source, src_weight, init_T, cfg: NDTConfig) -> AlignResult:
+    def stats_fn(T):
+        return ndt_solver_stats(vmap_, source, src_weight, T, cfg)
+
+    T, diag = gauss_newton(stats_fn, init_T, cfg.max_iter, cfg.tol)
+    return AlignResult(T=T, diagnostics=diag)
+
+
+class NDT(Registration):
+    """Reference-compatible shim (constructor of ndt.py:13-16)."""
+
+    def __init__(
+        self,
+        voxel_size: float = 1.0,
+        max_iter: int = 30,
+        max_dist: float = 2,
+        tol: float = 1e-3,
+    ):
+        super().__init__(max_iter=max_iter, tol=tol)
+        self.voxel_size = voxel_size
+        self.max_dist = max_dist
+        self.cfg = NDTConfig(
+            voxel_size=voxel_size, max_iter=max_iter, max_dist=max_dist, tol=tol
+        )
+
+    def set_target(self, target) -> None:
+        self._target = build_ndt_target(target, self.cfg)
+
+    @property
+    def voxels(self) -> VoxelMap:
+        return self._target
+
+    def _align_fn(self, target, source, src_weight, init_T) -> AlignResult:
+        return ndt_align(target, source, src_weight, init_T, self.cfg)
+
+    def _stats_fn(self, target, source, src_weight, T) -> GNStats:
+        return _ndt_stats_jit(target, source, src_weight, T, self.cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _ndt_stats_jit(target, source, src_weight, T, cfg) -> GNStats:
+    return ndt_solver_stats(target, source, src_weight, T, cfg)

@@ -1,0 +1,108 @@
+"""Point-to-plane ICP, TPU-native.
+
+Objective ``sum_i (n_i^T (T p_i - q_i))^2`` against the target's k-NN PCA
+normals — the reference solver at
+/root/reference/point_cloud_registration/plane_icp.py:13-69. Correspondences
+are gated raw-point 1-NN exactly as in ICP; the residual is the scalar
+projection on the matched point's normal. Supports the reference's
+precomputed-index injection (plane_icp.py:19-28) so benchmarks can time
+alignment separately from normal estimation (README.md:48).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from point_cloud_registration_tpu.core.config import PlaneICPConfig
+from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
+from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
+from point_cloud_registration_tpu.models.base import AlignResult, Registration
+from point_cloud_registration_tpu.ops.hashgrid import Buckets, Grid, build_grid, search_offsets
+from point_cloud_registration_tpu.ops.knn import nearest_point
+from point_cloud_registration_tpu.ops.normals import estimate_normals
+from point_cloud_registration_tpu.ops.reduce import plane_stats
+
+
+class PlaneICPTarget(NamedTuple):
+    """Point map + per-point normals + bucket grid."""
+
+    points: jax.Array  # (N, 3) f32
+    normals: jax.Array  # (N, 3) f32
+    grid: Grid
+    buckets: Buckets
+
+
+def build_plane_icp_target(
+    points, cfg: PlaneICPConfig, *, normals=None
+) -> PlaneICPTarget:
+    """Index + (optionally) estimate normals (``PlaneICP.set_target``,
+    plane_icp.py:19-28). Pass ``normals`` to reuse a precomputed field."""
+    points = jnp.asarray(points, dtype=jnp.float32)
+    if normals is None:
+        normals = estimate_normals(points, k=cfg.k)
+    normals = jnp.asarray(normals, dtype=jnp.float32)
+    cell = cfg.corr.cell_size if cfg.corr.cell_size is not None else cfg.max_dist / 2
+    grid, _, buckets = build_grid(points, cell, with_buckets=True)
+    return PlaneICPTarget(points=points, normals=normals, grid=grid, buckets=buckets)
+
+
+def plane_icp_stats(
+    target: PlaneICPTarget, source, src_weight, T, cfg: PlaneICPConfig
+) -> GNStats:
+    """Fused correspondence + plane linearization (plane_icp.py:30-69)."""
+    R, _ = makeRt(T)
+    src_trans = transform_points(T, source)
+    cell = cfg.corr.cell_size if cfg.corr.cell_size is not None else cfg.max_dist / 2
+    offsets = search_offsets(cfg.max_dist, cell)
+    nn = nearest_point(
+        target.grid, target.buckets, target.points, src_trans, offsets, cap=cfg.corr.cell_cap
+    )
+    w = src_weight * (nn.dist < cfg.max_dist) * (nn.idx >= 0)
+    safe = jnp.clip(nn.idx, 0, target.points.shape[0] - 1)
+    means = target.points[safe]
+    norms = target.normals[safe]
+    return plane_stats(source, src_trans, means, norms, w, R)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def plane_icp_align(
+    target: PlaneICPTarget, source, src_weight, init_T, cfg: PlaneICPConfig
+) -> AlignResult:
+    def stats_fn(T):
+        return plane_icp_stats(target, source, src_weight, T, cfg)
+
+    T, diag = gauss_newton(stats_fn, init_T, cfg.max_iter, cfg.tol)
+    return AlignResult(T=T, diagnostics=diag)
+
+
+class PlaneICP(Registration):
+    """Reference-compatible shim (constructor of plane_icp.py:14-17)."""
+
+    def __init__(self, max_iter: int = 30, max_dist: float = 2, tol: float = 1e-3, k: int = 15):
+        super().__init__(max_iter=max_iter, tol=tol)
+        self.max_dist = max_dist
+        self.k = k
+        self.cfg = PlaneICPConfig(max_iter=max_iter, max_dist=max_dist, tol=tol, k=k)
+
+    def set_target(self, target, kdree=None, norm=None) -> None:
+        """``kdree`` is accepted for signature parity (plane_icp.py:19) but
+        unused: the grid index rebuild is cheap on device. ``norm`` injects
+        precomputed normals, skipping estimation."""
+        del kdree
+        self._target = build_plane_icp_target(target, self.cfg, normals=norm)
+        self.normal = self._target.normals  # attribute parity (plane_icp.py:23)
+
+    def _align_fn(self, target, source, src_weight, init_T) -> AlignResult:
+        return plane_icp_align(target, source, src_weight, init_T, self.cfg)
+
+    def _stats_fn(self, target, source, src_weight, T) -> GNStats:
+        return _plane_stats_jit(target, source, src_weight, T, self.cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _plane_stats_jit(target, source, src_weight, T, cfg) -> GNStats:
+    return plane_icp_stats(target, source, src_weight, T, cfg)

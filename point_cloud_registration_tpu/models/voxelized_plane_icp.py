@@ -1,0 +1,94 @@
+"""Voxelized point-to-plane ICP — the flagship fast solver.
+
+Same plane objective as PlaneICP but correspondences are the nearest *voxel
+Gaussian* (mean + normal) of a voxel map — the reference solver at
+/root/reference/point_cloud_registration/voxelized_plane_icp.py:12-64. The
+reference finds the nearest voxel with a kd-tree over centroids
+(voxel.py:165, :176); here it is a provably-covering neighbor-cell window
+over the voxel grid itself (ops/knn.nearest_voxel) — no second index, no
+pointer chasing, one gather per window cell.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from point_cloud_registration_tpu.core.config import VPlaneICPConfig
+from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
+from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
+from point_cloud_registration_tpu.models.base import AlignResult, Registration
+from point_cloud_registration_tpu.ops.hashgrid import search_offsets
+from point_cloud_registration_tpu.ops.knn import nearest_voxel
+from point_cloud_registration_tpu.ops.reduce import plane_stats
+from point_cloud_registration_tpu.ops.voxelize import VoxelMap, build_voxel_map
+
+
+def build_vplane_target(points, cfg: VPlaneICPConfig) -> VoxelMap:
+    """Voxel map with Gaussian stats + normals (``VPlaneICP.set_target``,
+    voxelized_plane_icp.py:18-21)."""
+    return build_voxel_map(
+        points, cfg.voxel_size, min_points=cfg.min_points, with_icov=False
+    )
+
+
+def vplane_stats(vmap_: VoxelMap, source, src_weight, T, cfg: VPlaneICPConfig) -> GNStats:
+    """Nearest-voxel correspondence + plane linearization
+    (voxelized_plane_icp.py:23-64)."""
+    R, _ = makeRt(T)
+    src_trans = transform_points(T, source)
+    offsets = search_offsets(cfg.max_dist, cfg.voxel_size)
+    nn = nearest_voxel(vmap_.grid, vmap_.means, vmap_.valid, src_trans, offsets)
+    w = src_weight * (nn.dist < cfg.max_dist) * (nn.idx >= 0)
+    safe = jnp.clip(nn.idx, 0, vmap_.means.shape[0] - 1)
+    means = vmap_.means[safe]
+    norms = vmap_.normals[safe]
+    return plane_stats(source, src_trans, means, norms, w, R)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def vplane_align(vmap_: VoxelMap, source, src_weight, init_T, cfg: VPlaneICPConfig) -> AlignResult:
+    def stats_fn(T):
+        return vplane_stats(vmap_, source, src_weight, T, cfg)
+
+    T, diag = gauss_newton(stats_fn, init_T, cfg.max_iter, cfg.tol)
+    return AlignResult(T=T, diagnostics=diag)
+
+
+class VPlaneICP(Registration):
+    """Reference-compatible shim (constructor of voxelized_plane_icp.py:13-16)."""
+
+    def __init__(
+        self,
+        voxel_size: float = 1.0,
+        max_iter: int = 30,
+        max_dist: float = 2,
+        tol: float = 1e-3,
+    ):
+        super().__init__(max_iter=max_iter, tol=tol)
+        self.voxel_size = voxel_size
+        self.max_dist = max_dist
+        self.cfg = VPlaneICPConfig(
+            voxel_size=voxel_size, max_iter=max_iter, max_dist=max_dist, tol=tol
+        )
+
+    def set_target(self, target) -> None:
+        self._target = build_vplane_target(target, self.cfg)
+
+    @property
+    def voxels(self) -> VoxelMap:
+        """Attribute parity with the reference (voxelized_plane_icp.py:19)."""
+        return self._target
+
+    def _align_fn(self, target, source, src_weight, init_T) -> AlignResult:
+        return vplane_align(target, source, src_weight, init_T, self.cfg)
+
+    def _stats_fn(self, target, source, src_weight, T) -> GNStats:
+        return _vplane_stats_jit(target, source, src_weight, T, self.cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _vplane_stats_jit(target, source, src_weight, T, cfg) -> GNStats:
+    return vplane_stats(target, source, src_weight, T, cfg)

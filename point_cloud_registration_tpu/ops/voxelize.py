@@ -1,0 +1,176 @@
+"""Voxel-map construction: per-voxel Gaussian statistics on TPU.
+
+Re-designs the reference ``VoxelGrid.set_points`` pipeline
+(/root/reference/point_cloud_registration/voxel.py:104-169) — spatial hash,
+``np.unique`` + ``np.bincount`` scatter-reductions, min_points filter, LAPACK
+``eigh`` normals, analytic 3x3 inverse — as one fixed-shape XLA program:
+
+* grouping via the bounding-box grid index (``ops.hashgrid``), identical
+  grouping semantics to the reference hash (voxel.py:12-21);
+* per-voxel count/mean/covariance via ``scatter-add`` segment sums computed in
+  *cell-local* coordinates, so float32 keeps full precision for maps hundreds
+  of meters across (the reference gets this for free from float64 bincount);
+* normals from the closed-form symmetric 3x3 eigensolver (``ops.eigh3``),
+  replacing ``np.linalg.eigh`` (voxel.py:157-158);
+* the min_points filter (voxel.py:56, :151-153) becomes a validity mask —
+  no compaction, shapes stay static;
+* NDT's inverse covariance replicates the reference's adjugate/determinant
+  closed form including its singular guard ``det == 0 -> 1e6``
+  (voxel.py:69-102).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from point_cloud_registration_tpu.ops.eigh3 import smallest_eigvec_sym3
+from point_cloud_registration_tpu.ops.hashgrid import Grid, build_grid, cell_coords
+
+
+class VoxelMap(NamedTuple):
+    """Immutable target-map pytree for VPlaneICP / NDT (capacity-padded).
+
+    The checkpointable artifact of SURVEY §5: persisting these arrays IS the
+    map checkpoint; alignment itself holds no mutable state.
+    """
+
+    grid: Grid
+    means: jax.Array  # (C, 3) f32
+    covs: jax.Array  # (C, 6) f32 packed [xx, yy, zz, xy, xz, yz order: diag+triu]
+    normals: jax.Array  # (C, 3) f32 — smallest-eigenvector plane normals
+    counts: jax.Array  # (C,) i32
+    valid: jax.Array  # (C,) bool — counts >= min_points
+    icovs: jax.Array | None  # (C, 6) f32 — present after with_icov builds (NDT)
+
+    @property
+    def num_voxels(self) -> jax.Array:
+        return jnp.sum(self.valid)
+
+
+def _segment_stats(points, inverse, capacity, corner):
+    """Count/mean/packed-covariance per voxel slot, accumulated cell-locally."""
+    local = points - corner
+    counts = jnp.zeros((capacity,), jnp.int32).at[inverse].add(1)
+    sums = jnp.zeros((capacity, 3), jnp.float32).at[inverse].add(local)
+    counts_f = jnp.maximum(counts, 1).astype(jnp.float32)
+    means_local = sums / counts_f[:, None]
+    dev = local - means_local[inverse]
+    prods = jnp.stack(
+        [
+            dev[:, 0] * dev[:, 0],
+            dev[:, 1] * dev[:, 1],
+            dev[:, 2] * dev[:, 2],
+            dev[:, 0] * dev[:, 1],
+            dev[:, 0] * dev[:, 2],
+            dev[:, 1] * dev[:, 2],
+        ],
+        axis=-1,
+    )
+    cov_sums = jnp.zeros((capacity, 6), jnp.float32).at[inverse].add(prods)
+    # Reference divisor: max(counts - 1, 1) (voxel.py:140-148).
+    covs = cov_sums / jnp.maximum(counts - 1, 1).astype(jnp.float32)[:, None]
+    corner_per_slot = jnp.zeros((capacity, 3), jnp.float32).at[inverse].set(corner)
+    means = means_local + corner_per_slot
+    return counts, means, covs
+
+
+def invert_cov_packed(covs: jax.Array) -> jax.Array:
+    """Analytic symmetric 3x3 inverse, packed->packed, with the reference's
+    singular-determinant guard (voxel.py:69-102: ``det == 0 -> 1e6``)."""
+    a, b, c = covs[..., 0], covs[..., 1], covs[..., 2]
+    d, e, f = covs[..., 3], covs[..., 4], covs[..., 5]
+    det = a * b * c + 2 * d * e * f - a * f * f - b * e * e - c * d * d
+    det = jnp.where(det == 0, jnp.asarray(1e6, covs.dtype), det)
+    c0 = (b * c - f * f) / det
+    c1 = -(d * c - e * f) / det
+    c2 = (d * f - e * b) / det
+    c3 = (a * c - e * e) / det
+    c4 = -(a * f - d * e) / det
+    c5 = (a * b - d * d) / det
+    return jnp.stack([c0, c3, c5, c1, c2, c4], axis=-1)
+
+
+def build_voxel_map(
+    points,
+    voxel_size: float,
+    *,
+    min_points: int = 10,
+    with_icov: bool = False,
+    capacity: int | None = None,
+) -> VoxelMap:
+    """Build the capacity-padded voxel map (reference ``set_points``).
+
+    ``with_icov`` additionally materializes inverse covariances (NDT's
+    ``calc_icov``, ndt.py:21). One bounding-box host sync; the rest is a
+    single jitted program.
+    """
+    points = jnp.asarray(points, dtype=jnp.float32)
+    grid, inverse, _ = build_grid(points, voxel_size, capacity=capacity)
+    return _finish_voxel_map(
+        points, grid, inverse, min_points=min_points, with_icov=with_icov
+    )
+
+
+@partial(jax.jit, static_argnames=("min_points", "with_icov"))
+def _finish_voxel_map(points, grid: Grid, inverse, *, min_points, with_icov):
+    capacity = grid.keys.shape[0]
+    corner = cell_coords(points, grid.cell_size).astype(jnp.float32) * grid.cell_size
+    counts, means, covs = _segment_stats(points, inverse, capacity, corner)
+    valid = counts >= min_points
+    normals = smallest_eigvec_sym3(covs)
+    icovs = invert_cov_packed(covs) if with_icov else None
+    return VoxelMap(
+        grid=grid,
+        means=means,
+        covs=covs,
+        normals=normals,
+        counts=counts,
+        valid=valid,
+        icovs=icovs,
+    )
+
+
+def voxel_filter(points, voxel_size: float) -> np.ndarray:
+    """Voxel downsampling: per-voxel centroid, float32 (voxel.py:209-241).
+
+    Output content matches the reference exactly; ordering differs (reference
+    orders by its modular hash, we order by bounding-box key — both are
+    implementation details of ``unique``).
+    """
+    points = jnp.asarray(points, dtype=jnp.float32)
+    grid, inverse, _ = build_grid(points, voxel_size)
+    corner = cell_coords(points, grid.cell_size).astype(jnp.float32) * grid.cell_size
+    capacity = grid.keys.shape[0]
+    counts, means, _ = _segment_stats(points, inverse, capacity, corner)
+    n_cells = int(jax.device_get(grid.n_cells))
+    return np.asarray(jax.device_get(means))[:n_cells].astype(np.float32)
+
+
+def color_by_voxel(points, voxel_size: float) -> np.recarray:
+    """Random per-voxel RGB coloring for the viewer (voxel.py:183-206).
+
+    Host-side visualization utility; reproduces the reference's packed
+    ``[('xyz', '<f4', (3,)), ('irgb', '<u4')]`` record layout and its seeded
+    palette (seed 42, voxel.py:191). Voxel enumeration order follows our
+    grid key rather than the reference hash, so individual voxel hues may
+    differ — the structure and statistics are identical.
+    """
+    points_np = np.asarray(points, dtype=np.float32)
+    grid, inverse, _ = build_grid(points_np, voxel_size)
+    inverse = np.asarray(jax.device_get(inverse))
+    n_cells = int(jax.device_get(grid.n_cells))
+    rng = np.random.RandomState(42)
+    colors = rng.randint(0, 256, size=(n_cells, 3)).astype(np.uint8)
+    point_colors = colors[inverse]
+    rgb = (
+        point_colors[:, 0].astype(np.uint32) << 16
+        | point_colors[:, 1].astype(np.uint32) << 8
+        | point_colors[:, 2].astype(np.uint32)
+    )
+    data_type = [("xyz", "<f4", (3,)), ("irgb", "<u4")]
+    return np.rec.fromarrays([points_np, rgb], dtype=data_type)

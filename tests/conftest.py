@@ -1,0 +1,24 @@
+"""Test harness configuration.
+
+Tests run on a simulated 8-device CPU platform so sharding/collective code
+paths are exercised without TPU hardware (the driver separately dry-runs the
+multi-chip path). Must run before the first ``import jax`` touches the
+backend.
+"""
+
+import os
+
+# Force CPU: the session environment pre-sets JAX_PLATFORMS=axon (the TPU
+# tunnel) and a sitecustomize hook re-asserts it via jax.config at interpreter
+# start, which would route every tiny test jit through remote compilation.
+# Both the env var and the config flag must be overridden before backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,134 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_cloud_registration_tpu.ops import hashgrid, knn
+from oracles import knn_np
+
+
+@pytest.fixture
+def cloud():
+    rng = np.random.RandomState(7)
+    return (rng.rand(3000, 3) * np.array([20.0, 20.0, 5.0]) - 2.0).astype(np.float32)
+
+
+def test_build_and_lookup_own_cells(cloud):
+    grid, inverse, _ = hashgrid.build_grid(cloud, 1.0)
+    coords = np.asarray(jax.device_get(hashgrid.cell_coords(jnp.asarray(cloud), jnp.float32(1.0))))
+    keys = hashgrid.coords_to_key(
+        jnp.asarray(coords), grid.origin_cell, grid.dims
+    )
+    slots = np.asarray(jax.device_get(hashgrid.lookup_slots(grid, keys)))
+    # every point's own cell must be found, and equal its inverse slot
+    assert np.all(slots >= 0)
+    np.testing.assert_array_equal(slots, np.asarray(jax.device_get(inverse)))
+
+
+def test_lookup_miss_returns_minus_one(cloud):
+    grid, _, _ = hashgrid.build_grid(cloud, 1.0)
+    # far outside the bounding box
+    far = jnp.asarray([[1e4, 1e4, 1e4]], jnp.float32)
+    key = hashgrid.coords_to_key(
+        hashgrid.cell_coords(far, grid.cell_size), grid.origin_cell, grid.dims
+    )
+    assert int(jax.device_get(hashgrid.lookup_slots(grid, key))[0]) == -1
+
+
+def test_sparse_and_dense_lookup_agree(cloud):
+    grid_d, _, _ = hashgrid.build_grid(cloud, 1.0)
+    assert grid_d.dense is not None
+    grid_s = grid_d._replace(dense=None)
+    q = jnp.asarray(np.random.RandomState(1).rand(500, 3) * 25 - 3, jnp.float32)
+    keys = hashgrid.coords_to_key(
+        hashgrid.cell_coords(q, grid_d.cell_size), grid_d.origin_cell, grid_d.dims
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(hashgrid.lookup_slots(grid_d, keys))),
+        np.asarray(jax.device_get(hashgrid.lookup_slots(grid_s, keys))),
+    )
+
+
+@pytest.mark.parametrize("max_dist,cell", [(2.0, 2.0), (2.0, 1.0), (1.5, 1.0), (0.7, 0.5)])
+def test_search_offsets_cover_gated_radius(max_dist, cell):
+    """Any reference point within max_dist of a query must lie in a window
+    cell — randomized proof of the coverage formula."""
+    offs = hashgrid.search_offsets(max_dist, cell)
+    offs_set = set(map(tuple, offs))
+    rng = np.random.RandomState(0)
+    q = rng.rand(20000, 3) * 4 * cell
+    # random points at distance < max_dist from q
+    d = rng.randn(20000, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    p = q + d * (rng.rand(20000, 1) * max_dist * 0.999)
+    dq = np.floor(q / cell).astype(int)
+    dp = np.floor(p / cell).astype(int)
+    rel = dp - dq
+    for r in np.unique(rel, axis=0):
+        assert tuple(r) in offs_set, f"offset {r} not covered"
+
+
+def test_nearest_point_matches_kdtree(cloud):
+    """With a generous cap the grid 1-NN is exact within max_dist."""
+    max_dist = 2.0
+    grid, _, buckets = hashgrid.build_grid(cloud, max_dist, with_buckets=True)
+    rng = np.random.RandomState(3)
+    q = (cloud[rng.choice(len(cloud), 400)] + rng.randn(400, 3) * 0.3).astype(np.float32)
+    offs = hashgrid.search_offsets(max_dist, max_dist)
+    res = knn.nearest_point(grid, buckets, jnp.asarray(cloud), jnp.asarray(q), offs, cap=512)
+    d_ref, i_ref = knn_np(cloud, q, k=1)
+    d_ours = np.asarray(jax.device_get(res.dist))
+    i_ours = np.asarray(jax.device_get(res.idx))
+    gated = d_ref[:, 0] < max_dist
+    np.testing.assert_allclose(d_ours[gated], d_ref[gated, 0], atol=1e-4)
+    # indices may differ only on exact ties; verify via distances
+    p_ours = cloud[i_ours[gated]]
+    d_check = np.linalg.norm(p_ours - q[gated], axis=1)
+    np.testing.assert_allclose(d_check, d_ref[gated, 0], atol=1e-4)
+
+
+def test_nearest_voxel_matches_bruteforce(cloud):
+    from point_cloud_registration_tpu.ops.voxelize import build_voxel_map
+
+    vm = build_voxel_map(cloud, 1.0, min_points=5)
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(cloud[rng.choice(len(cloud), 300)] + rng.randn(300, 3) * 0.5, jnp.float32)
+    offs = hashgrid.search_offsets(2.0, 1.0)
+    res = knn.nearest_voxel(vm.grid, vm.means, vm.valid, q, offs)
+    ref = knn.brute_force_nn(q, vm.means, vm.valid)
+    d_ours = np.asarray(jax.device_get(res.dist))
+    d_ref = np.asarray(jax.device_get(ref.dist))
+    gated = d_ref < 2.0
+    np.testing.assert_allclose(d_ours[gated], d_ref[gated], atol=1e-4)
+    i_ours = np.asarray(jax.device_get(res.idx))
+    i_ref = np.asarray(jax.device_get(ref.idx))
+    assert (i_ours[gated] == i_ref[gated]).mean() > 0.999
+
+
+def test_knn_points_matches_kdtree(cloud):
+    from point_cloud_registration_tpu.ops.normals import sample_knn_radius
+
+    k = 10
+    cell = sample_knn_radius(jnp.asarray(cloud), k)  # window must cover the k-NN radius
+    grid, _, buckets = hashgrid.build_grid(cloud, cell, with_buckets=True)
+    q = jnp.asarray(cloud[:200])
+    offs = hashgrid.search_offsets(cell, cell)
+    d, i = knn.knn_points(grid, buckets, jnp.asarray(cloud), q, offs, cap=256, k=k, chunk=128)
+    d_ref, i_ref = knn_np(cloud, np.asarray(q), k=k)
+    d = np.asarray(jax.device_get(d))
+    # the 3^3 window covers the *median* k-NN radius by construction, so the
+    # exact-match rate is well above half; the tail gets approximate (still
+    # nearby) neighborhoods — quantified here, and shown harmless for normal
+    # quality in test_normals.py
+    agree = np.isclose(d, d_ref, atol=1e-4).all(axis=1)
+    assert agree.mean() > 0.9, agree.mean()
+    # even approximate rows must find neighbors within ~2 cells
+    assert d.max() < d_ref.max() + 2 * cell
+
+
+def test_brute_force_knn_exact(cloud):
+    q = cloud[:50]
+    d, i = knn.brute_force_knn(jnp.asarray(q), jnp.asarray(cloud), k=5)
+    d_ref, i_ref = knn_np(cloud, q, k=5)
+    np.testing.assert_allclose(np.asarray(jax.device_get(d)), d_ref, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(i)), i_ref)

@@ -1,0 +1,103 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_cloud_registration_tpu.ops import voxelize, hashgrid
+from point_cloud_registration_tpu.ops.eigh3 import unpack_sym3
+from oracles import voxel_stats_np
+
+
+@pytest.fixture
+def cloud():
+    rng = np.random.RandomState(11)
+    # clustered points so voxels have enough members
+    centers = rng.rand(40, 3) * 10
+    pts = (centers[:, None, :] + rng.randn(40, 60, 3) * 0.4).reshape(-1, 3)
+    return pts.astype(np.float32)
+
+
+def _cell_of(p, vs):
+    return tuple(np.floor(p / vs).astype(np.int64))
+
+
+def test_voxel_stats_match_oracle(cloud):
+    vs = 1.0
+    vm = voxelize.build_voxel_map(cloud, vs, min_points=1)
+    oracle = voxel_stats_np(cloud, vs)
+    means = np.asarray(jax.device_get(vm.means))
+    counts = np.asarray(jax.device_get(vm.counts))
+    covs = np.asarray(jax.device_get(unpack_sym3(vm.covs)))
+    n_cells = int(jax.device_get(vm.grid.n_cells))
+    assert n_cells == len(oracle)
+    # map each oracle cell to its slot via the grid lookup
+    cells = np.array(list(oracle.keys()), dtype=np.int64)
+    keys = hashgrid.coords_to_key(
+        jnp.asarray(cells, jnp.int32), vm.grid.origin_cell, vm.grid.dims
+    )
+    slots = np.asarray(jax.device_get(hashgrid.lookup_slots(vm.grid, keys)))
+    assert np.all(slots >= 0)
+    for (cell, (n, mean, cov)), slot in zip(oracle.items(), slots):
+        assert counts[slot] == n
+        np.testing.assert_allclose(means[slot], mean, atol=1e-4)
+        np.testing.assert_allclose(covs[slot], cov, atol=1e-4)
+
+
+def test_min_points_mask(cloud):
+    vm = voxelize.build_voxel_map(cloud, 1.0, min_points=10)
+    counts = np.asarray(jax.device_get(vm.counts))
+    valid = np.asarray(jax.device_get(vm.valid))
+    np.testing.assert_array_equal(valid, counts >= 10)
+
+
+def test_normals_match_oracle_eigh(cloud):
+    vm = voxelize.build_voxel_map(cloud, 1.0, min_points=5)
+    covs = np.asarray(jax.device_get(unpack_sym3(vm.covs))).astype(np.float64)
+    normals = np.asarray(jax.device_get(vm.normals))
+    valid = np.asarray(jax.device_get(vm.valid))
+    _, vecs = np.linalg.eigh(covs[valid])
+    ref = vecs[:, :, 0]
+    cos = np.abs(np.sum(normals[valid] * ref, axis=-1))
+    assert np.quantile(cos, 0.02) > 1 - 1e-3
+
+
+def test_icov_matches_inverse(cloud):
+    vm = voxelize.build_voxel_map(cloud, 1.0, min_points=10, with_icov=True)
+    valid = np.asarray(jax.device_get(vm.valid))
+    covs = np.asarray(jax.device_get(unpack_sym3(vm.covs)))[valid].astype(np.float64)
+    icovs = np.asarray(jax.device_get(unpack_sym3(vm.icovs)))[valid]
+    ref = np.linalg.inv(covs)
+    scale = np.abs(ref).max(axis=(1, 2), keepdims=True)
+    np.testing.assert_allclose(icovs / scale, ref / scale, atol=2e-3)
+
+
+def test_icov_singular_guard():
+    # rank-deficient covariance: det == 0 -> guarded, finite output
+    covs = jnp.asarray([[1.0, 1.0, 0.0, 0.0, 0.0, 0.0]], jnp.float32)
+    icov = np.asarray(jax.device_get(voxelize.invert_cov_packed(covs)))
+    assert np.all(np.isfinite(icov))
+
+
+def test_voxel_filter_matches_oracle(cloud):
+    vs = 0.8
+    ours = voxelize.voxel_filter(cloud, vs)
+    oracle = voxel_stats_np(cloud, vs)
+    assert ours.shape == (len(oracle), 3)
+    assert ours.dtype == np.float32
+    ref = np.stack([m for (_, m, _) in oracle.values()])
+    # order-independent comparison
+    ours_sorted = ours[np.lexsort(ours.T)]
+    ref_sorted = ref[np.lexsort(ref.T)]
+    np.testing.assert_allclose(ours_sorted, ref_sorted, atol=1e-4)
+
+
+def test_color_by_voxel_structure(cloud):
+    rec = voxelize.color_by_voxel(cloud, 1.0)
+    assert rec.dtype.names == ("xyz", "irgb")
+    assert rec.shape[0] == len(cloud)
+    # same voxel -> same color, different voxels -> (almost surely) different
+    cells = [_cell_of(p, 1.0) for p in cloud]
+    c0 = {}
+    for cell, irgb in zip(cells, rec["irgb"]):
+        c0.setdefault(cell, irgb)
+        assert c0[cell] == irgb
