@@ -33,10 +33,8 @@ from point_cloud_registration_tpu.core.se3 import (
 from point_cloud_registration_tpu.models.base import AlignResult, Registration, pad_points
 from point_cloud_registration_tpu.models.coreset import create_gn_set, fast_caratheodory
 from point_cloud_registration_tpu.models.voxelized_plane_icp import build_vplane_target
-from point_cloud_registration_tpu.ops.hashgrid import search_offsets
-from point_cloud_registration_tpu.ops.knn import nearest_voxel
-from point_cloud_registration_tpu.ops.reduce import plane_stats, reduce_H_g_e2
-from point_cloud_registration_tpu.ops.voxelize import VoxelMap
+from point_cloud_registration_tpu.ops.reduce import reduce_H_g_e2
+from point_cloud_registration_tpu.ops.voxelize import VoxelMap, query_nearest_voxel
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -49,15 +47,17 @@ def vplane_linearize(vmap_: VoxelMap, source, src_weight, T, cfg: VPlaneICPConfi
     """
     R, _ = makeRt(T)
     src_trans = transform_points(T, source)
-    offsets = search_offsets(cfg.max_dist, cfg.voxel_size)
-    nn = nearest_voxel(vmap_.grid, vmap_.means, vmap_.valid, src_trans, offsets)
+    nn = query_nearest_voxel(
+        vmap_, src_trans, voxel_size=cfg.voxel_size, max_dist=cfg.max_dist
+    )
     w = src_weight * (nn.dist < cfg.max_dist) * (nn.idx >= 0)
     safe = jnp.clip(nn.idx, 0, vmap_.means.shape[0] - 1)
     means = vmap_.means[safe]
     norms = vmap_.normals[safe]
     diff = src_trans - means
     r = jnp.sum(norms * diff, axis=-1)
-    Jr = skew_time_vector(source, norms @ R)
+    Rt_n = jnp.einsum("nj,ji->ni", norms, R, precision=jax.lax.Precision.HIGHEST)
+    Jr = skew_time_vector(source, Rt_n)
     J = jnp.concatenate([norms, Jr], axis=-1)
     return J, r, w
 

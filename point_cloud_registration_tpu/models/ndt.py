@@ -20,10 +20,12 @@ from point_cloud_registration_tpu.core.config import NDTConfig
 from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
 from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
 from point_cloud_registration_tpu.models.base import AlignResult, Registration
-from point_cloud_registration_tpu.ops.hashgrid import search_offsets
-from point_cloud_registration_tpu.ops.knn import nearest_voxel
 from point_cloud_registration_tpu.ops.reduce import ndt_stats
-from point_cloud_registration_tpu.ops.voxelize import VoxelMap, build_voxel_map
+from point_cloud_registration_tpu.ops.voxelize import (
+    VoxelMap,
+    build_voxel_map,
+    query_nearest_voxel,
+)
 
 
 def build_ndt_target(points, cfg: NDTConfig) -> VoxelMap:
@@ -37,8 +39,9 @@ def ndt_solver_stats(vmap_: VoxelMap, source, src_weight, T, cfg: NDTConfig) -> 
     """Nearest-voxel correspondence + Mahalanobis linearization (ndt.py:24-57)."""
     R, _ = makeRt(T)
     src_trans = transform_points(T, source)
-    offsets = search_offsets(cfg.max_dist, cfg.voxel_size)
-    nn = nearest_voxel(vmap_.grid, vmap_.means, vmap_.valid, src_trans, offsets)
+    nn = query_nearest_voxel(
+        vmap_, src_trans, voxel_size=cfg.voxel_size, max_dist=cfg.max_dist
+    )
     w = src_weight * (nn.dist < cfg.max_dist) * (nn.idx >= 0)
     safe = jnp.clip(nn.idx, 0, vmap_.means.shape[0] - 1)
     means = vmap_.means[safe]

@@ -94,6 +94,113 @@ def nearest_voxel(
     return NNResult(dist=jnp.sqrt(best_d2), idx=best_slot)
 
 
+def nearest_voxel_dense(
+    grid: Grid,
+    dense_means: jax.Array,
+    query: jax.Array,
+    offsets_near: np.ndarray | jax.Array,
+    offsets_full: np.ndarray | jax.Array,
+) -> NNResult:
+    """Fast nearest-voxel query against an inf-padded dense centroid table.
+
+    ``dense_means`` is (D + 1, 3): row ``key`` holds the centroid of cell
+    ``key`` for *valid* voxels and +inf otherwise; row D is the out-of-range
+    sentinel. Folding validity and lookup into one table turns each offset
+    probe into a single 12-byte-row gather (the jnp query path is gather-row
+    bound on TPU), and the distance math gates invalid cells for free.
+
+    Two-pass exactness: the near window (3^3) is searched first; a query
+    whose best squared distance is below ``cell_size^2`` is *provably* exact
+    (any centroid outside the 3x3x3 block is > cell_size away). Only when
+    some gated query is unresolved does a ``lax.cond`` run the full covering
+    window — after the first GN iteration correspondences are sub-cell and
+    the expensive pass vanishes.
+
+    Returns the best *cell key* in ``idx`` (callers map key -> slot with one
+    ``lookup_slots`` gather).
+    """
+    offsets_near = jnp.asarray(offsets_near, jnp.int32)
+    offsets_full = jnp.asarray(offsets_full, jnp.int32)
+    sentinel = jnp.int32(dense_means.shape[0] - 1)
+    qc = cell_coords(query, grid.cell_size)
+    rel = qc - grid.origin_cell  # (N, 3)
+    nx, ny, nz = grid.dims[0], grid.dims[1], grid.dims[2]
+
+    def probe_scan(q, r, offsets, init):
+        def probe(carry, off):
+            best_d2, best_key = carry
+            rr = r + off
+            in_range = (
+                (rr[:, 0] >= 0) & (rr[:, 0] < nx)
+                & (rr[:, 1] >= 0) & (rr[:, 1] < ny)
+                & (rr[:, 2] >= 0) & (rr[:, 2] < nz)
+            )
+            key = rr[:, 0] + nx * (rr[:, 1] + ny * rr[:, 2])
+            key = jnp.where(in_range, key, sentinel)
+            diff = q - dense_means[key]
+            d2 = diff[:, 0] * diff[:, 0] + diff[:, 1] * diff[:, 1] + diff[:, 2] * diff[:, 2]
+            better = d2 < best_d2
+            return (
+                jnp.where(better, d2, best_d2),
+                jnp.where(better, key, best_key),
+            ), None
+
+        return jax.lax.scan(probe, init, offsets)[0]
+
+    init = (query[:, 0] * 0 + _BIG, jnp.zeros_like(rel[:, 0]) + sentinel)
+    best_d2, best_key = probe_scan(query, rel, offsets_near, init)
+
+    if offsets_full.shape[0] > offsets_near.shape[0]:
+        cs2 = grid.cell_size * grid.cell_size
+        mask = best_d2 >= cs2  # not provably exact from the near window
+        n_unres = jnp.sum(mask)
+        cap = max(query.shape[0] // 4, 1024)
+
+        def compact_pass(carry):
+            d2_all, key_all = carry
+            idxs = jnp.nonzero(mask, size=cap, fill_value=0)[0]
+            live = jnp.arange(cap) < n_unres
+            subq = query[idxs]
+            subrel = rel[idxs]
+            sub_init = (subq[:, 0] * 0 + _BIG, jnp.zeros_like(subrel[:, 0]) + sentinel)
+            sd2, skey = probe_scan(subq, subrel, offsets_full, sub_init)
+            d2_new = d2_all.at[idxs].set(jnp.where(live, sd2, d2_all[idxs]))
+            key_new = key_all.at[idxs].set(jnp.where(live, skey, key_all[idxs]))
+            return d2_new, key_new
+
+        def full_pass(carry):
+            return probe_scan(query, rel, offsets_full, carry)
+
+        # Tier 1: everything provably exact -> done. Tier 2: few unresolved ->
+        # full window on a compacted subset. Tier 3 (pathological, >cap
+        # unresolved, e.g. the very first iteration of a badly-initialized
+        # align): full window on everything.
+        tier = (n_unres > 0).astype(jnp.int32) + (n_unres > cap).astype(jnp.int32)
+        best_d2, best_key = jax.lax.switch(
+            tier,
+            [lambda c: c, compact_pass, full_pass],
+            (best_d2, best_key),
+        )
+    return NNResult(dist=jnp.sqrt(best_d2), idx=best_key)
+
+
+def build_dense_means(grid: Grid, means: jax.Array, valid: jax.Array) -> jax.Array | None:
+    """(D + 1, 3) inf-padded dense centroid table for :func:`nearest_voxel_dense`.
+
+    Returns None when the grid has no dense table (bounding box too large);
+    callers then use the sparse :func:`nearest_voxel` path.
+    """
+    if grid.dense is None:
+        return None
+    d = grid.dense.shape[0]
+    table = jnp.full((d + 1, 3), jnp.inf, jnp.float32)
+    ok = (grid.dense >= 0) & valid[jnp.clip(grid.dense, 0, means.shape[0] - 1)]
+    src = jnp.where(
+        ok[:, None], means[jnp.clip(grid.dense, 0, means.shape[0] - 1)], jnp.inf
+    )
+    return table.at[:d].set(src)
+
+
 def nearest_point(
     grid: Grid,
     buckets: Buckets,

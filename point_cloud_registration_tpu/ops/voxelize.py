@@ -29,7 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from point_cloud_registration_tpu.ops.eigh3 import smallest_eigvec_sym3
-from point_cloud_registration_tpu.ops.hashgrid import Grid, build_grid, cell_coords
+from point_cloud_registration_tpu.ops.hashgrid import Grid, build_grid, cell_coords, search_offsets
+from point_cloud_registration_tpu.ops.knn import (
+    NNResult,
+    build_dense_means,
+    nearest_voxel,
+    nearest_voxel_dense,
+)
 
 
 class VoxelMap(NamedTuple):
@@ -46,6 +52,7 @@ class VoxelMap(NamedTuple):
     counts: jax.Array  # (C,) i32
     valid: jax.Array  # (C,) bool — counts >= min_points
     icovs: jax.Array | None  # (C, 6) f32 — present after with_icov builds (NDT)
+    dense_means: jax.Array | None  # (D+1, 3) inf-padded dense centroid table
 
     @property
     def num_voxels(self) -> jax.Array:
@@ -132,7 +139,30 @@ def _finish_voxel_map(points, grid: Grid, inverse, *, min_points, with_icov):
         counts=counts,
         valid=valid,
         icovs=icovs,
+        dense_means=build_dense_means(grid, means, valid),
     )
+
+
+def query_nearest_voxel(vmap_: VoxelMap, query, *, voxel_size: float, max_dist: float) -> NNResult:
+    """Nearest valid voxel for each query point -> (dist, slot).
+
+    Dispatches to the dense inf-padded table fast path when the map has one
+    (``knn.nearest_voxel_dense``: one 12-byte gather per probe, 3^3 near
+    window + compacted full-window fallback) and otherwise to the sparse
+    per-slot path. ``voxel_size``/``max_dist`` must be static (they shape the
+    offset tables).
+    """
+    offsets_full = search_offsets(max_dist, voxel_size)
+    if vmap_.dense_means is not None:
+        offsets_near = search_offsets(min(voxel_size, max_dist), voxel_size)
+        res = nearest_voxel_dense(
+            vmap_.grid, vmap_.dense_means, query, offsets_near, offsets_full
+        )
+        dense = vmap_.grid.dense
+        slot = dense[jnp.clip(res.idx, 0, dense.shape[0] - 1)]
+        slot = jnp.where(jnp.isfinite(res.dist), slot, jnp.int32(-1))
+        return NNResult(dist=res.dist, idx=slot)
+    return nearest_voxel(vmap_.grid, vmap_.means, vmap_.valid, query, offsets_full)
 
 
 def voxel_filter(points, voxel_size: float) -> np.ndarray:
