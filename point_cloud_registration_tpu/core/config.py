@@ -22,17 +22,30 @@ class GNConfig:
 
 @dataclasses.dataclass(frozen=True)
 class CorrespondenceConfig:
-    """Neighbor-search parameters for the grid engine.
+    """Neighbor-search parameters for the raw-point correspondence engines.
 
-    ``cell_size``: bucket size for raw-point grids; ``None`` derives it
-    (= max_dist / 2 for 1-NN — finer cells keep dense-surface cells under
-    the candidate cap; density-based for k-NN).
-    ``cell_cap``: max candidates examined per cell — the fixed-shape
-    approximation dial (see ops/knn.py docstring).
+    ``method``: ``"auto"`` picks ``"packed"`` (blocked packed-candidate
+    tables + voxel-proxy fallback, ops/pointgrid.py) for large targets and
+    ``"grid"`` (CSR bucket scan, exact within the window/cap) for small ones.
+    ``cell_size``: bucket size for the grid method (None = max_dist / 2).
+    ``cell_cap``: candidates per cell for the grid method.
+    ``cell_fine``: fine-cell size for the packed method (None = max_dist / 4);
+    it is also the provable-exactness radius of tier 1.
+    ``packed_cap``: points packed per block (truncation knob).
+    ``auto_threshold``: target size above which ``auto`` uses ``packed``.
     """
 
+    method: str = "auto"
     cell_size: float | None = None
     cell_cap: int = 64
+    cell_fine: float | None = None
+    packed_cap: int = 32
+    auto_threshold: int = 50_000
+
+    def resolved_method(self, n_points: int) -> str:
+        if self.method == "auto":
+            return "packed" if n_points >= self.auto_threshold else "grid"
+        return self.method
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,7 +16,6 @@ correspondences — the reference solver at
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -24,26 +23,21 @@ import jax.numpy as jnp
 from point_cloud_registration_tpu.core.config import ICPConfig
 from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
 from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
+from point_cloud_registration_tpu.models._point_corr import (
+    PointCorrTarget,
+    build_point_corr,
+    match_points,
+)
 from point_cloud_registration_tpu.models.base import AlignResult, Registration, pad_points
-from point_cloud_registration_tpu.ops.hashgrid import Buckets, Grid, build_grid, search_offsets
-from point_cloud_registration_tpu.ops.knn import nearest_point
 from point_cloud_registration_tpu.ops.reduce import point_stats
 
-
-class ICPTarget(NamedTuple):
-    """Immutable point-map pytree: raw points + their bucket grid."""
-
-    points: jax.Array  # (N, 3) f32
-    grid: Grid
-    buckets: Buckets
+# The ICP target is the generic raw-point correspondence target.
+ICPTarget = PointCorrTarget
 
 
 def build_icp_target(points, cfg: ICPConfig) -> ICPTarget:
     """Index the target cloud (replaces ``ICP.set_target``, icp.py:17-22)."""
-    points = jnp.asarray(points, dtype=jnp.float32)
-    cell = cfg.corr.cell_size if cfg.corr.cell_size is not None else cfg.max_dist / 2
-    grid, _, buckets = build_grid(points, cell, with_buckets=True)
-    return ICPTarget(points=points, grid=grid, buckets=buckets)
+    return build_point_corr(points, cfg.corr, cfg.max_dist)
 
 
 def icp_stats(target: ICPTarget, source, src_weight, T, cfg: ICPConfig) -> GNStats:
@@ -51,14 +45,9 @@ def icp_stats(target: ICPTarget, source, src_weight, T, cfg: ICPConfig) -> GNSta
     (fuses icp.py:32-56)."""
     R, _ = makeRt(T)
     src_trans = transform_points(T, source)
-    cell = cfg.corr.cell_size if cfg.corr.cell_size is not None else cfg.max_dist / 2
-    offsets = search_offsets(cfg.max_dist, cell)
-    nn = nearest_point(
-        target.grid, target.buckets, target.points, src_trans, offsets, cap=cfg.corr.cell_cap
-    )
-    w = src_weight * (nn.dist < cfg.max_dist) * (nn.idx >= 0)
-    qs = target.points[jnp.clip(nn.idx, 0, target.points.shape[0] - 1)]
-    return point_stats(source, src_trans, qs, w, R)
+    m = match_points(target, src_trans, cfg.corr, cfg.max_dist)
+    w = src_weight * m.weight
+    return point_stats(source, src_trans, m.target, w, R)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -20,20 +20,21 @@ import jax.numpy as jnp
 from point_cloud_registration_tpu.core.config import PlaneICPConfig
 from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
 from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
+from point_cloud_registration_tpu.models._point_corr import (
+    PointCorrTarget,
+    build_point_corr,
+    match_points,
+)
 from point_cloud_registration_tpu.models.base import AlignResult, Registration
-from point_cloud_registration_tpu.ops.hashgrid import Buckets, Grid, build_grid, search_offsets
-from point_cloud_registration_tpu.ops.knn import nearest_point
 from point_cloud_registration_tpu.ops.normals import estimate_normals
 from point_cloud_registration_tpu.ops.reduce import plane_stats
 
 
 class PlaneICPTarget(NamedTuple):
-    """Point map + per-point normals + bucket grid."""
+    """Raw-point correspondence target + per-point normals."""
 
-    points: jax.Array  # (N, 3) f32
+    corr: PointCorrTarget
     normals: jax.Array  # (N, 3) f32
-    grid: Grid
-    buckets: Buckets
 
 
 def build_plane_icp_target(
@@ -45,27 +46,36 @@ def build_plane_icp_target(
     if normals is None:
         normals = estimate_normals(points, k=cfg.k)
     normals = jnp.asarray(normals, dtype=jnp.float32)
-    cell = cfg.corr.cell_size if cfg.corr.cell_size is not None else cfg.max_dist / 2
-    grid, _, buckets = build_grid(points, cell, with_buckets=True)
-    return PlaneICPTarget(points=points, normals=normals, grid=grid, buckets=buckets)
+    # the proxy tier serves voxel *planes*, so ask for enough points per voxel
+    corr = build_point_corr(points, cfg.corr, cfg.max_dist, proxy_min_points=3)
+    return PlaneICPTarget(corr=corr, normals=normals)
 
 
 def plane_icp_stats(
     target: PlaneICPTarget, source, src_weight, T, cfg: PlaneICPConfig
 ) -> GNStats:
-    """Fused correspondence + plane linearization (plane_icp.py:30-69)."""
+    """Fused correspondence + plane linearization (plane_icp.py:30-69).
+
+    Raw matches use the matched point's k-NN PCA normal; proxy (far) matches
+    use the proxy voxel's plane — i.e. PlaneICP degrades to VPlaneICP for
+    correspondences beyond the packed tier's exactness radius, which only
+    exist in early iterations.
+    """
     R, _ = makeRt(T)
     src_trans = transform_points(T, source)
-    cell = cfg.corr.cell_size if cfg.corr.cell_size is not None else cfg.max_dist / 2
-    offsets = search_offsets(cfg.max_dist, cell)
-    nn = nearest_point(
-        target.grid, target.buckets, target.points, src_trans, offsets, cap=cfg.corr.cell_cap
-    )
-    w = src_weight * (nn.dist < cfg.max_dist) * (nn.idx >= 0)
-    safe = jnp.clip(nn.idx, 0, target.points.shape[0] - 1)
-    means = target.points[safe]
-    norms = target.normals[safe]
-    return plane_stats(source, src_trans, means, norms, w, R)
+    m = match_points(target.corr, src_trans, cfg.corr, cfg.max_dist)
+    w = src_weight * m.weight
+    safe_raw = jnp.clip(m.point_idx, 0, target.normals.shape[0] - 1)
+    if target.corr.proxy is not None:
+        safe_proxy = jnp.clip(m.proxy_slot, 0, target.corr.proxy.normals.shape[0] - 1)
+        norms = jnp.where(
+            (m.point_idx >= 0)[:, None],
+            target.normals[safe_raw],
+            target.corr.proxy.normals[safe_proxy],
+        )
+    else:
+        norms = target.normals[safe_raw]
+    return plane_stats(source, src_trans, m.target, norms, w, R)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from point_cloud_registration_tpu.ops.hashgrid import (
+    INVALID_KEY,
     Buckets,
     Grid,
     cell_coords,
@@ -94,65 +95,96 @@ def nearest_voxel(
     return NNResult(dist=jnp.sqrt(best_d2), idx=best_slot)
 
 
-def nearest_voxel_dense(
+# Cells per dense block along (x, y, z). A block is one gather row of
+# bx*by*bz*3 floats; bigger blocks cut gather-row count (the TPU bottleneck)
+# at the cost of distance math on a cell superset (VPU, nearly free).
+DENSE_BLOCK = (2, 2, 2)
+
+
+def _block_span(radius_cells: int, b: int) -> int:
+    """Max blocks of size ``b`` a (2*radius+1)-cell window can intersect:
+    ceil((L-1)/b) + 1 for a window of L cells at worst alignment."""
+    return (2 * radius_cells + b - 1) // b + 1
+
+
+def nearest_voxel_blocks(
     grid: Grid,
-    dense_means: jax.Array,
+    dense_blocks: jax.Array,
+    nb_dims: jax.Array,
     query: jax.Array,
-    offsets_near: np.ndarray | jax.Array,
-    offsets_full: np.ndarray | jax.Array,
+    radius_near: int,
+    radius_full: int,
 ) -> NNResult:
-    """Fast nearest-voxel query against an inf-padded dense centroid table.
+    """Nearest-voxel query against a blocked dense centroid table.
 
-    ``dense_means`` is (D + 1, 3): row ``key`` holds the centroid of cell
-    ``key`` for *valid* voxels and +inf otherwise; row D is the out-of-range
-    sentinel. Folding validity and lookup into one table turns each offset
-    probe into a single 12-byte-row gather (the jnp query path is gather-row
-    bound on TPU), and the distance math gates invalid cells for free.
+    ``dense_blocks`` is (NB + 1, bx*by*bz*3): row j holds the centroids of
+    the 2x2x2 cells of block j (+inf where empty/invalid/out-of-grid); the
+    last row is the out-of-range sentinel. One gather row serves 8 candidate
+    cells, cutting the gather-row count — the TPU-side bottleneck of this
+    query — ~3.4x vs per-cell probing; the extra cells a block window covers
+    beyond the exact cell window only ever *improve* the candidate set.
 
-    Two-pass exactness: the near window (3^3) is searched first; a query
-    whose best squared distance is below ``cell_size^2`` is *provably* exact
-    (any centroid outside the 3x3x3 block is > cell_size away). Only when
-    some gated query is unresolved does a ``lax.cond`` run the full covering
-    window — after the first GN iteration correspondences are sub-cell and
-    the expensive pass vanishes.
+    Two-tier exactness: the near pass covers cell radius ``radius_near``; a
+    query whose best distance is below ``radius_near * cell_size`` is
+    provably exact. Unresolved queries are compacted (capacity N/4) and
+    re-searched at ``radius_full`` (the max_dist-covering radius); a
+    pathological all-unresolved iteration falls back to a full-width pass.
 
-    Returns the best *cell key* in ``idx`` (callers map key -> slot with one
-    ``lookup_slots`` gather).
+    Returns the best *cell key* in ``idx`` (sentinel: out-of-table key).
     """
-    offsets_near = jnp.asarray(offsets_near, jnp.int32)
-    offsets_full = jnp.asarray(offsets_full, jnp.int32)
-    sentinel = jnp.int32(dense_means.shape[0] - 1)
+    bx, by, bz = DENSE_BLOCK
+    w = bx * by * bz
+    sentinel_row = jnp.int32(dense_blocks.shape[0] - 1)
+    nbx, nby, nbz = nb_dims[0], nb_dims[1], nb_dims[2]
+    gnx, gny = grid.dims[0], grid.dims[1]  # true cell-grid dims for final keys
+    cell_sentinel = jnp.int32(np.iinfo(np.int32).max)
     qc = cell_coords(query, grid.cell_size)
     rel = qc - grid.origin_cell  # (N, 3)
-    nx, ny, nz = grid.dims[0], grid.dims[1], grid.dims[2]
+    block = jnp.asarray(DENSE_BLOCK, jnp.int32)
 
-    def probe_scan(q, r, offsets, init):
-        def probe(carry, off):
-            best_d2, best_key = carry
-            rr = r + off
-            in_range = (
-                (rr[:, 0] >= 0) & (rr[:, 0] < nx)
-                & (rr[:, 1] >= 0) & (rr[:, 1] < ny)
-                & (rr[:, 2] >= 0) & (rr[:, 2] < nz)
-            )
-            key = rr[:, 0] + nx * (rr[:, 1] + ny * rr[:, 2])
-            key = jnp.where(in_range, key, sentinel)
-            diff = q - dense_means[key]
-            d2 = diff[:, 0] * diff[:, 0] + diff[:, 1] * diff[:, 1] + diff[:, 2] * diff[:, 2]
-            better = d2 < best_d2
-            return (
-                jnp.where(better, d2, best_d2),
-                jnp.where(better, key, best_key),
-            ), None
+    # Local cell coordinates inside a block, in row layout order
+    # col = lx + bx * (ly + by * lz).
+    lx = jnp.arange(w, dtype=jnp.int32) % bx
+    ly = (jnp.arange(w, dtype=jnp.int32) // bx) % by
+    lz = jnp.arange(w, dtype=jnp.int32) // (bx * by)
 
-        return jax.lax.scan(probe, init, offsets)[0]
+    def block_pass(q, r, radius):
+        lo_b = jnp.floor_divide(r - radius, block)  # (M, 3) first block per axis
+        spans = [_block_span(radius, b) for b in DENSE_BLOCK]
+        best_d2 = q[:, 0] * 0 + _BIG
+        best_key = jnp.zeros_like(r[:, 0]) + cell_sentinel
+        for dbx in range(spans[0]):
+            for dby in range(spans[1]):
+                for dbz in range(spans[2]):
+                    b3 = lo_b + jnp.asarray([dbx, dby, dbz], jnp.int32)
+                    ok = jnp.all((b3 >= 0) & (b3 < nb_dims), axis=-1)
+                    row = b3[:, 0] + nbx * (b3[:, 1] + nby * b3[:, 2])
+                    row = jnp.where(ok, row, sentinel_row)
+                    cells = dense_blocks[row].reshape(-1, w, 3)  # (M, w, 3)
+                    diff = q[:, None, :] - cells
+                    d2 = (
+                        diff[..., 0] * diff[..., 0]
+                        + diff[..., 1] * diff[..., 1]
+                        + diff[..., 2] * diff[..., 2]
+                    )  # (M, w)
+                    arg = jnp.argmin(d2, axis=1)
+                    d2m = jnp.take_along_axis(d2, arg[:, None], axis=1)[:, 0]
+                    cx = b3[:, 0] * bx + lx[arg]
+                    cy = b3[:, 1] * by + ly[arg]
+                    cz = b3[:, 2] * bz + lz[arg]
+                    # true-grid linear key (cells beyond the true dims are inf
+                    # in the table and can never win)
+                    key = cx + gnx * (cy + gny * cz)
+                    better = d2m < best_d2
+                    best_d2 = jnp.where(better, d2m, best_d2)
+                    best_key = jnp.where(better, key, best_key)
+        return best_d2, best_key
 
-    init = (query[:, 0] * 0 + _BIG, jnp.zeros_like(rel[:, 0]) + sentinel)
-    best_d2, best_key = probe_scan(query, rel, offsets_near, init)
+    best_d2, best_key = block_pass(query, rel, radius_near)
 
-    if offsets_full.shape[0] > offsets_near.shape[0]:
-        cs2 = grid.cell_size * grid.cell_size
-        mask = best_d2 >= cs2  # not provably exact from the near window
+    if radius_full > radius_near:
+        exact_r = radius_near * grid.cell_size
+        mask = best_d2 >= exact_r * exact_r  # not provably exact
         n_unres = jnp.sum(mask)
         cap = max(query.shape[0] // 4, 1024)
 
@@ -160,21 +192,20 @@ def nearest_voxel_dense(
             d2_all, key_all = carry
             idxs = jnp.nonzero(mask, size=cap, fill_value=0)[0]
             live = jnp.arange(cap) < n_unres
-            subq = query[idxs]
-            subrel = rel[idxs]
-            sub_init = (subq[:, 0] * 0 + _BIG, jnp.zeros_like(subrel[:, 0]) + sentinel)
-            sd2, skey = probe_scan(subq, subrel, offsets_full, sub_init)
+            sd2, skey = block_pass(query[idxs], rel[idxs], radius_full)
             d2_new = d2_all.at[idxs].set(jnp.where(live, sd2, d2_all[idxs]))
             key_new = key_all.at[idxs].set(jnp.where(live, skey, key_all[idxs]))
             return d2_new, key_new
 
         def full_pass(carry):
-            return probe_scan(query, rel, offsets_full, carry)
+            fd2, fkey = block_pass(query, rel, radius_full)
+            better = fd2 < carry[0]
+            return jnp.where(better, fd2, carry[0]), jnp.where(better, fkey, carry[1])
 
         # Tier 1: everything provably exact -> done. Tier 2: few unresolved ->
-        # full window on a compacted subset. Tier 3 (pathological, >cap
+        # full radius on a compacted subset. Tier 3 (pathological, >cap
         # unresolved, e.g. the very first iteration of a badly-initialized
-        # align): full window on everything.
+        # align): full radius on everything.
         tier = (n_unres > 0).astype(jnp.int32) + (n_unres > cap).astype(jnp.int32)
         best_d2, best_key = jax.lax.switch(
             tier,
@@ -184,21 +215,35 @@ def nearest_voxel_dense(
     return NNResult(dist=jnp.sqrt(best_d2), idx=best_key)
 
 
-def build_dense_means(grid: Grid, means: jax.Array, valid: jax.Array) -> jax.Array | None:
-    """(D + 1, 3) inf-padded dense centroid table for :func:`nearest_voxel_dense`.
-
-    Returns None when the grid has no dense table (bounding box too large);
-    callers then use the sparse :func:`nearest_voxel` path.
+def build_dense_blocks(
+    grid: Grid, means: jax.Array, valid: jax.Array, nb_dims_static: tuple[int, int, int]
+) -> jax.Array:
+    """(NB + 1, bx*by*bz*3) inf-padded blocked centroid table for
+    :func:`nearest_voxel_blocks`. ``nb_dims_static`` are host ints (block
+    grid dims) because they size the array.
     """
-    if grid.dense is None:
-        return None
-    d = grid.dense.shape[0]
-    table = jnp.full((d + 1, 3), jnp.inf, jnp.float32)
-    ok = (grid.dense >= 0) & valid[jnp.clip(grid.dense, 0, means.shape[0] - 1)]
-    src = jnp.where(
-        ok[:, None], means[jnp.clip(grid.dense, 0, means.shape[0] - 1)], jnp.inf
-    )
-    return table.at[:d].set(src)
+    bx, by, bz = DENSE_BLOCK
+    w = bx * by * bz
+    nbx, nby, nbz = nb_dims_static
+    nb = nbx * nby * nbz
+    c = means.shape[0]
+    # cell coords of every slot from its linear key
+    keys = grid.keys
+    nx, ny = grid.dims[0], grid.dims[1]
+    ok = (keys != INVALID_KEY) & valid
+    safe_keys = jnp.where(ok, keys, 0)
+    cx = safe_keys % nx
+    cy = (safe_keys // nx) % ny
+    cz = safe_keys // (nx * ny)
+    brow = (cx // bx) + nbx * ((cy // by) + nby * (cz // bz))
+    col = (cx % bx) + bx * ((cy % by) + by * (cz % bz))
+    flat_base = brow * (w * 3) + col * 3
+    table = jnp.full(((nb + 1) * w * 3,), jnp.inf, jnp.float32)
+    oob = jnp.int32((nb + 1) * w * 3)  # dropped by the scatter
+    for comp in range(3):
+        idx = jnp.where(ok, flat_base + comp, oob)
+        table = table.at[idx].set(means[:, comp], mode="drop")
+    return table.reshape(nb + 1, w * 3)
 
 
 def nearest_point(

@@ -29,12 +29,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from point_cloud_registration_tpu.ops.eigh3 import smallest_eigvec_sym3
-from point_cloud_registration_tpu.ops.hashgrid import Grid, build_grid, cell_coords, search_offsets
+from point_cloud_registration_tpu.ops.hashgrid import (
+    DENSE_CELL_BUDGET,
+    Grid,
+    _bbox_cells,
+    build_grid,
+    cell_coords,
+    search_offsets,
+)
 from point_cloud_registration_tpu.ops.knn import (
+    DENSE_BLOCK,
     NNResult,
-    build_dense_means,
+    build_dense_blocks,
     nearest_voxel,
-    nearest_voxel_dense,
+    nearest_voxel_blocks,
 )
 
 
@@ -52,7 +60,8 @@ class VoxelMap(NamedTuple):
     counts: jax.Array  # (C,) i32
     valid: jax.Array  # (C,) bool — counts >= min_points
     icovs: jax.Array | None  # (C, 6) f32 — present after with_icov builds (NDT)
-    dense_means: jax.Array | None  # (D+1, 3) inf-padded dense centroid table
+    dense_blocks: jax.Array | None  # (NB+1, 24) inf-padded blocked centroid table
+    nb_dims: jax.Array | None  # (3,) i32 — block-grid dims
 
     @property
     def num_voxels(self) -> jax.Array:
@@ -117,9 +126,120 @@ def build_voxel_map(
     single jitted program.
     """
     points = jnp.asarray(points, dtype=jnp.float32)
-    grid, inverse, _ = build_grid(points, voxel_size, capacity=capacity)
-    return _finish_voxel_map(
-        points, grid, inverse, min_points=min_points, with_icov=with_icov
+    lo_cell, hi_cell = _bbox_cells(points, voxel_size)
+    total_cells = int(np.prod(hi_cell - lo_cell + 1))
+    if capacity is None and total_cells <= DENSE_CELL_BUDGET:
+        # Dense-direct build: voxel slot == linear cell key, so the
+        # sort-based ``unique`` (the costliest part of set_target) disappears
+        # entirely — points segment-reduce straight into dense cell rows.
+        dims = tuple(int(x) for x in (hi_cell - lo_cell + 1))
+        vm = _build_voxel_map_dense(
+            points,
+            jnp.asarray(lo_cell, jnp.int32),
+            jnp.float32(voxel_size),
+            dims_static=dims,
+            min_points=min_points,
+            with_icov=with_icov,
+        )
+        grid = vm.grid
+    else:
+        grid, inverse, _ = build_grid(points, voxel_size, capacity=capacity)
+        vm = _finish_voxel_map(
+            points, grid, inverse, min_points=min_points, with_icov=with_icov
+        )
+    if grid.dense is not None:
+        # blocked centroid table needs static block-grid dims (host ints)
+        dims = tuple(int(x) for x in jax.device_get(grid.dims))
+        nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
+        blocks = _build_blocks_jit(grid, vm.means, vm.valid, nb)
+        vm = vm._replace(dense_blocks=blocks, nb_dims=jnp.asarray(nb, jnp.int32))
+    return vm
+
+
+_build_blocks_jit = partial(jax.jit, static_argnames=("nb_dims_static",))(build_dense_blocks)
+
+
+@partial(jax.jit, static_argnames=("dims_static", "min_points", "with_icov"))
+def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_points, with_icov):
+    nx, ny, nz = dims_static
+    d_total = nx * ny * nz
+    coords = cell_coords(points, cell_size)
+    rel = coords - origin_cell
+    key = rel[:, 0] + nx * (rel[:, 1] + ny * rel[:, 2])
+    corner = coords.astype(jnp.float32) * cell_size
+
+    # One-pass moment accumulation, ONE wide-row scatter: [1, p, p (x) p].
+    # Cell-local coordinates keep every term O(cell_size), so the
+    # E[pp^T] - mu mu^T cancellation is float32-benign (unlike the
+    # reference's global-coordinate float32 moments, estimate_normals.py:50).
+    local = points - corner
+    vals = jnp.concatenate(
+        [
+            jnp.ones((points.shape[0], 1), jnp.float32),
+            local,
+            local[:, 0:1] * local,  # xx, xy, xz
+            local[:, 1:2] * local[:, 1:3],  # yy, yz
+            local[:, 2:3] * local[:, 2:3],  # zz
+        ],
+        axis=-1,
+    )  # (N, 10)
+    acc = jnp.zeros((d_total, 10), jnp.float32).at[key].add(vals)
+    counts_f = acc[:, 0]
+    counts = counts_f.astype(jnp.int32)
+    safe_n = jnp.maximum(counts_f, 1.0)
+    mean_local = acc[:, 1:4] / safe_n[:, None]
+    # packed order [xx, yy, zz, xy, xz, yz] from accumulated [xx,xy,xz,yy,yz,zz]
+    sq = jnp.stack(
+        [acc[:, 4], acc[:, 7], acc[:, 9], acc[:, 5], acc[:, 6], acc[:, 8]], axis=-1
+    )
+    mu_outer = jnp.stack(
+        [
+            mean_local[:, 0] * mean_local[:, 0],
+            mean_local[:, 1] * mean_local[:, 1],
+            mean_local[:, 2] * mean_local[:, 2],
+            mean_local[:, 0] * mean_local[:, 1],
+            mean_local[:, 0] * mean_local[:, 2],
+            mean_local[:, 1] * mean_local[:, 2],
+        ],
+        axis=-1,
+    )
+    # (sum pp^T - n mu mu^T) / max(n - 1, 1)  (reference divisor, voxel.py:140-148)
+    covs = (sq - counts_f[:, None] * mu_outer) / jnp.maximum(counts_f - 1.0, 1.0)[:, None]
+
+    # Per-slot cell corner analytically from the slot index (no scatter).
+    slot = jnp.arange(d_total, dtype=jnp.int32)
+    scx = slot % nx + origin_cell[0]
+    scy = (slot // nx) % ny + origin_cell[1]
+    scz = slot // (nx * ny) + origin_cell[2]
+    slot_corner = jnp.stack([scx, scy, scz], axis=-1).astype(jnp.float32) * cell_size
+    means = mean_local + slot_corner
+
+    valid = counts >= min_points
+    # Normals only for cells that can be valid: at most N // min_points slots.
+    vc = int(min(d_total, max(points.shape[0] // max(min_points, 1), 1)))
+    vidx = jnp.nonzero(valid, size=vc, fill_value=d_total - 1)[0]
+    nrm_sub = smallest_eigvec_sym3(covs[vidx])
+    normals = jnp.zeros((d_total, 3), jnp.float32).at[vidx].set(nrm_sub)
+    icovs = invert_cov_packed(covs) if with_icov else None
+    identity = jnp.arange(d_total, dtype=jnp.int32)
+    grid = Grid(
+        origin_cell=origin_cell,
+        cell_size=cell_size,
+        dims=jnp.asarray(dims_static, jnp.int32),
+        keys=identity,
+        n_cells=jnp.sum(counts > 0).astype(jnp.int32),
+        dense=identity,
+    )
+    return VoxelMap(
+        grid=grid,
+        means=means,
+        covs=covs,
+        normals=normals,
+        counts=counts,
+        valid=valid,
+        icovs=icovs,
+        dense_blocks=None,
+        nb_dims=None,
     )
 
 
@@ -139,7 +259,8 @@ def _finish_voxel_map(points, grid: Grid, inverse, *, min_points, with_icov):
         counts=counts,
         valid=valid,
         icovs=icovs,
-        dense_means=build_dense_means(grid, means, valid),
+        dense_blocks=None,
+        nb_dims=None,
     )
 
 
@@ -152,16 +273,21 @@ def query_nearest_voxel(vmap_: VoxelMap, query, *, voxel_size: float, max_dist: 
     per-slot path. ``voxel_size``/``max_dist`` must be static (they shape the
     offset tables).
     """
-    offsets_full = search_offsets(max_dist, voxel_size)
-    if vmap_.dense_means is not None:
-        offsets_near = search_offsets(min(voxel_size, max_dist), voxel_size)
-        res = nearest_voxel_dense(
-            vmap_.grid, vmap_.dense_means, query, offsets_near, offsets_full
+    if vmap_.dense_blocks is not None:
+        radius_full = int(np.ceil(max_dist / voxel_size - 1e-9))
+        res = nearest_voxel_blocks(
+            vmap_.grid,
+            vmap_.dense_blocks,
+            vmap_.nb_dims,
+            query,
+            radius_near=min(1, radius_full),
+            radius_full=radius_full,
         )
         dense = vmap_.grid.dense
         slot = dense[jnp.clip(res.idx, 0, dense.shape[0] - 1)]
         slot = jnp.where(jnp.isfinite(res.dist), slot, jnp.int32(-1))
         return NNResult(dist=res.dist, idx=slot)
+    offsets_full = search_offsets(max_dist, voxel_size)
     return nearest_voxel(vmap_.grid, vmap_.means, vmap_.valid, query, offsets_full)
 
 

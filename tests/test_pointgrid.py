@@ -1,0 +1,127 @@
+"""Packed-block point-table tests: tier-1 exactness + packed-solver parity."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_cloud_registration_tpu.core.config import CorrespondenceConfig
+from point_cloud_registration_tpu.ops.pointgrid import (
+    build_packed_grid,
+    knn_packed,
+    nearest_point_packed,
+)
+from oracles import gn_align_np, icp_stats_np, knn_np, make_scan, make_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.RandomState(44)
+    return make_scene(rng)
+
+
+def test_tier1_exact_within_cell_fine(scene):
+    # cap above the worst block occupancy -> tier-1 exactness is exact, which
+    # validates the window-coverage logic in isolation from truncation
+    pg = build_packed_grid(scene, cell_fine=0.5, cap=256)
+    rng = np.random.RandomState(1)
+    q = (scene[rng.choice(len(scene), 500)] + rng.randn(500, 3) * 0.2).astype(np.float32)
+    res = nearest_point_packed(pg, jnp.asarray(q))
+    d_ref, i_ref = knn_np(scene, q, k=1)
+    d = np.asarray(jax.device_get(res.dist))
+    resolved = np.asarray(jax.device_get(res.resolved))
+    # resolved queries must carry the true nearest distance
+    np.testing.assert_allclose(d[resolved], d_ref[resolved, 0], atol=1e-4)
+    # and with a 0.2-sigma offset cloud, nearly everything resolves
+    assert resolved.mean() > 0.95
+    # resolved flag only claims d < cell_fine
+    assert np.all(d[resolved] < 0.5)
+
+
+def test_tier1_truncation_quality(scene):
+    # default cap truncates dense blocks: matches may be near-nearest, but
+    # must stay in-window (within ~3 fine cells) and mostly exact
+    pg = build_packed_grid(scene, cell_fine=0.5, cap=32)
+    rng = np.random.RandomState(5)
+    q = (scene[rng.choice(len(scene), 500)] + rng.randn(500, 3) * 0.2).astype(np.float32)
+    res = nearest_point_packed(pg, jnp.asarray(q))
+    d_ref, _ = knn_np(scene, q, k=1)
+    d = np.asarray(jax.device_get(res.dist))
+    resolved = np.asarray(jax.device_get(res.resolved))
+    exact = np.isclose(d[resolved], d_ref[resolved, 0], atol=1e-4)
+    assert exact.mean() > 0.6
+    # truncated matches are near-nearest, never far
+    assert np.all(d[resolved] - d_ref[resolved, 0] < 0.5)
+
+
+def test_tier1_unresolved_far_queries(scene):
+    pg = build_packed_grid(scene, cell_fine=0.5, cap=64)
+    q = jnp.asarray(np.array([[500.0, 500.0, 500.0]], np.float32))
+    res = nearest_point_packed(pg, q)
+    assert not bool(jax.device_get(res.resolved)[0])
+
+
+def test_cap_truncation_graceful(scene):
+    # tiny cap: distances may be suboptimal but must stay >= true NN and finite
+    pg = build_packed_grid(scene, cell_fine=0.5, cap=4)
+    rng = np.random.RandomState(2)
+    q = (scene[rng.choice(len(scene), 200)] + rng.randn(200, 3) * 0.1).astype(np.float32)
+    res = nearest_point_packed(pg, jnp.asarray(q))
+    d = np.asarray(jax.device_get(res.dist))
+    d_ref, _ = knn_np(scene, q, k=1)
+    assert np.all(d >= d_ref[:, 0] - 1e-5)
+    assert np.isfinite(d).mean() > 0.9
+
+
+def test_knn_packed_matches_kdtree(scene):
+    from point_cloud_registration_tpu.ops.normals import sample_knn_radius
+
+    k = 10
+    r = sample_knn_radius(jnp.asarray(scene), k)
+    pg = build_packed_grid(scene, cell_fine=r, cap=64)
+    q = jnp.asarray(scene[:300])
+    d, i = knn_packed(pg, q, k, chunk=128)
+    d_ref, _ = knn_np(scene, scene[:300], k=k)
+    d = np.asarray(jax.device_get(d))
+    # the 8-block window covers the sampled median k-NN radius; the tail of
+    # wider neighborhoods is approximate (same contract as the grid k-NN)
+    agree = np.isclose(d, d_ref, atol=1e-4).all(axis=1)
+    assert agree.mean() > 0.8, agree.mean()
+
+
+def test_packed_icp_matches_exact_oracle(scene):
+    """End-to-end: the packed+proxy ICP must land on the float64 exact-NN
+    oracle's transform (the proxy tier only steers early iterations)."""
+    from point_cloud_registration_tpu import ICP
+
+    rng = np.random.RandomState(3)
+    scan, T_true = make_scan(rng, scene, np.array([0.04, -0.03, 0.12, 0.01, -0.012, 0.02]))
+    icp = ICP(max_iter=30, max_dist=2.0, tol=1e-3)
+    icp.cfg = dataclasses.replace(
+        icp.cfg, corr=dataclasses.replace(icp.cfg.corr, method="packed")
+    )
+    icp.set_target(scene)
+    T_ours = icp.align(scan)
+    T_ref, _ = gn_align_np(
+        lambda T: icp_stats_np(scene, scan, T, 2.0), max_iter=30, tol=1e-3
+    )
+    np.testing.assert_allclose(T_ours, T_ref, atol=5e-3)
+    residual = T_ours @ T_true - np.eye(4)
+    assert np.abs(residual).max() < 0.02
+
+
+def test_packed_plane_icp_converges(scene):
+    from point_cloud_registration_tpu import PlaneICP
+
+    rng = np.random.RandomState(4)
+    scan, T_true = make_scan(rng, scene, np.array([0.05, -0.04, 0.15, 0.012, -0.015, 0.02]))
+    picp = PlaneICP(max_iter=30, max_dist=2.0, tol=1e-3, k=15)
+    picp.cfg = dataclasses.replace(
+        picp.cfg, corr=dataclasses.replace(picp.cfg.corr, method="packed")
+    )
+    picp.set_target(scene)
+    T_est = picp.align(scan)
+    residual = T_est @ T_true - np.eye(4)
+    assert np.abs(residual).max() < 0.02, residual
