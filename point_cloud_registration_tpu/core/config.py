@@ -55,6 +55,7 @@ class ICPConfig:
     max_iter: int = 30
     max_dist: float = 2.0
     tol: float = 1e-3
+    huber_delta: float | None = None  # opt-in robust weighting (SURVEY M6)
     corr: CorrespondenceConfig = CorrespondenceConfig()
 
 
@@ -66,6 +67,7 @@ class PlaneICPConfig:
     max_dist: float = 2.0
     tol: float = 1e-3
     k: int = 15  # neighbors for normal estimation
+    huber_delta: float | None = None
     corr: CorrespondenceConfig = CorrespondenceConfig()
 
 
@@ -78,6 +80,7 @@ class VPlaneICPConfig:
     max_dist: float = 2.0
     tol: float = 1e-3
     min_points: int = 10  # voxel validity threshold (voxel.py:56)
+    huber_delta: float | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,3 +92,4 @@ class NDTConfig:
     max_dist: float = 2.0
     tol: float = 1e-3
     min_points: int = 10
+    huber_delta: float | None = None

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from point_cloud_registration_tpu.core.config import CorrespondenceConfig
@@ -36,7 +37,7 @@ from point_cloud_registration_tpu.ops.voxelize import (
     query_nearest_voxel,
 )
 
-_BIG = jnp.float32(jnp.inf)
+_BIG = np.float32(np.inf)  # numpy scalar: no backend init at import
 
 
 class PointCorrTarget(NamedTuple):

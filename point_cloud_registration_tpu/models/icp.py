@@ -47,7 +47,7 @@ def icp_stats(target: ICPTarget, source, src_weight, T, cfg: ICPConfig) -> GNSta
     src_trans = transform_points(T, source)
     m = match_points(target, src_trans, cfg.corr, cfg.max_dist)
     w = src_weight * m.weight
-    return point_stats(source, src_trans, m.target, w, R)
+    return point_stats(source, src_trans, m.target, w, R, huber_delta=cfg.huber_delta)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

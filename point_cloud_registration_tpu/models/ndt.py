@@ -46,7 +46,7 @@ def ndt_solver_stats(vmap_: VoxelMap, source, src_weight, T, cfg: NDTConfig) -> 
     safe = jnp.clip(nn.idx, 0, vmap_.means.shape[0] - 1)
     means = vmap_.means[safe]
     icovs = vmap_.icovs[safe]
-    return ndt_stats(source, src_trans, means, icovs, w, R)
+    return ndt_stats(source, src_trans, means, icovs, w, R, huber_delta=cfg.huber_delta)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -75,7 +75,7 @@ def plane_icp_stats(
         )
     else:
         norms = target.normals[safe_raw]
-    return plane_stats(source, src_trans, m.target, norms, w, R)
+    return plane_stats(source, src_trans, m.target, norms, w, R, huber_delta=cfg.huber_delta)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

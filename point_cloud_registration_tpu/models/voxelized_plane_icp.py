@@ -48,7 +48,7 @@ def vplane_stats(vmap_: VoxelMap, source, src_weight, T, cfg: VPlaneICPConfig) -
     safe = jnp.clip(nn.idx, 0, vmap_.means.shape[0] - 1)
     means = vmap_.means[safe]
     norms = vmap_.normals[safe]
-    return plane_stats(source, src_trans, means, norms, w, R)
+    return plane_stats(source, src_trans, means, norms, w, R, huber_delta=cfg.huber_delta)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

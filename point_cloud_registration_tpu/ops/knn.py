@@ -40,7 +40,7 @@ from point_cloud_registration_tpu.ops.hashgrid import (
     lookup_slots,
 )
 
-_BIG = jnp.float32(np.inf)
+_BIG = np.float32(np.inf)  # numpy scalar: no backend init at import
 
 
 class NNResult(NamedTuple):

@@ -34,7 +34,7 @@ import numpy as np
 
 from point_cloud_registration_tpu.ops.hashgrid import _bbox_cells, cell_coords
 
-_BIG = jnp.float32(np.inf)
+_BIG = np.float32(np.inf)  # numpy scalar: no backend init at import
 _BLOCK = 2  # fine cells per block edge
 
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from point_cloud_registration_tpu.core.gn import GNStats
-from point_cloud_registration_tpu.core.se3 import skew2, skew_time_vector
+from point_cloud_registration_tpu.core.se3 import huber_weight, skew2, skew_time_vector
 from point_cloud_registration_tpu.ops.eigh3 import unpack_sym3
 
 # All small contractions run at HIGHEST precision: TPU-default matmuls feed
@@ -44,15 +44,23 @@ def point_stats(
     targets: jax.Array,
     weights: jax.Array,
     R: jax.Array,
+    huber_delta: float | None = None,
 ) -> GNStats:
     """Point-to-point closed form (reference icp.py:24-57, weighted).
 
     Jacobian ``J = [I | -R skew(p_src)]`` gives ``H_ll = (sum w) I``,
     ``H_lr = -R skew(sum w p)``, ``H_rr = sum w skew(p)^T skew(p)`` and
     ``g = [sum w r ; sum w skew(p) R^T r]`` without materializing any J.
+    ``huber_delta`` enables opt-in IRLS Huber robust weighting on the
+    residual norm (the reference exports huber_weight but never wires it
+    into a solver — math_tools.py:15-19; SURVEY §7 M6).
     """
-    w = weights[:, None]
     rs = src_trans - targets
+    if huber_delta is not None:
+        weights = weights * huber_weight(
+            jnp.sqrt(jnp.sum(rs * rs, axis=-1)), huber_delta
+        )
+    w = weights[:, None]
     n = jnp.sum(weights)
     p_sum = jnp.sum(source * w, axis=0)
     H_ll = n * jnp.eye(3, dtype=source.dtype)
@@ -81,6 +89,7 @@ def plane_stats(
     normals: jax.Array,
     weights: jax.Array,
     R: jax.Array,
+    huber_delta: float | None = None,
 ) -> GNStats:
     """Point-to-plane scalar-residual form (reference plane_icp.py:30-69, weighted).
 
@@ -90,6 +99,8 @@ def plane_stats(
     """
     diff = src_trans - means
     rs = jnp.sum(normals * diff, axis=-1)  # (N,)
+    if huber_delta is not None:
+        weights = weights * huber_weight(jnp.abs(rs), huber_delta)
     Jr = skew_time_vector(source, jnp.einsum("nj,ji->ni", normals, R, precision=_HI))  # skew(p) @ (R^T n)
     J6 = jnp.concatenate([normals, Jr], axis=-1)  # (N, 6)
     Jw = J6 * weights[:, None]
@@ -106,6 +117,7 @@ def ndt_stats(
     icov_packed: jax.Array,
     weights: jax.Array,
     R: jax.Array,
+    huber_delta: float | None = None,
 ) -> GNStats:
     """Mahalanobis form (reference ndt.py:24-57, weighted).
 
@@ -115,8 +127,13 @@ def ndt_stats(
     ``e2 = sum w d^T S d``.
     """
     icov = unpack_sym3(icov_packed)  # (N, 3, 3)
-    w = weights[:, None, None]
     diff = src_trans - means  # (N, 3)
+    if huber_delta is not None:
+        # robustify on the Mahalanobis residual magnitude
+        icd = jnp.einsum("nij,nj->ni", icov, diff, precision=_HI)
+        mah = jnp.sqrt(jnp.maximum(jnp.sum(diff * icd, axis=-1), 0.0))
+        weights = weights * huber_weight(mah, huber_delta)
+    w = weights[:, None, None]
     # J1 = -R @ skew(p) : build via column cross products, (N, 3, 3)
     Sp = jnp.stack(
         [

@@ -1,5 +1,6 @@
-"""Multi-chip execution: mesh construction + sharded/batched alignment."""
+"""Multi-chip / multi-host execution: runtime init, meshes, sharded align."""
 
+from point_cloud_registration_tpu.parallel import distributed
 from point_cloud_registration_tpu.parallel.mesh import make_mesh
 from point_cloud_registration_tpu.parallel.sharded import (
     STATS_FNS,

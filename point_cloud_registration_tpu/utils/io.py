@@ -24,6 +24,29 @@ _PCD_TO_NP = {
 }
 
 
+def read_pcd_xyz(path: str) -> np.ndarray:
+    """Fast (N, 3) float32 xyz read — native C++ parser when available
+    (native/pcd_io.cpp), NumPy fallback otherwise. This is the benchmark/data
+    hot path (the reference reads B-01.pcd through q3dviewer,
+    benchmark/test_data.py:24)."""
+    from point_cloud_registration_tpu import native
+
+    lib = native.load()
+    if lib is not None:
+        import ctypes
+
+        n = lib.pcd_num_points(path.encode())
+        if n >= 0:
+            out = np.empty((n, 3), np.float32)
+            rc = lib.pcd_read_xyz(
+                path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
+            )
+            if rc == 0:
+                return out
+    rec = read_pcd(path)
+    return np.ascontiguousarray(rec["xyz"], dtype=np.float32)
+
+
 def read_pcd(path: str) -> np.recarray:
     """Read a PCD file into a record array with one entry per field.
 

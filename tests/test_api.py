@@ -87,3 +87,18 @@ def test_pcd_io_roundtrip(tmp_path):
     write_pcd(p2, pts, binary=False)
     rec2 = read_pcd(p2)
     np.testing.assert_allclose(rec2["xyz"], pts, atol=1e-5)
+
+
+def test_native_pcd_reader_matches_numpy(tmp_path):
+    """The C++ fast path (native/pcd_io.cpp) must agree bit-for-bit with the
+    NumPy parser; skips cleanly where no compiler is available."""
+    from point_cloud_registration_tpu import native
+    from point_cloud_registration_tpu.utils import read_pcd_xyz, write_pcd
+
+    pts = (np.random.RandomState(2).rand(5000, 3) * 50).astype(np.float32)
+    p = str(tmp_path / "n.pcd")
+    write_pcd(p, pts)
+    out = read_pcd_xyz(p)
+    np.testing.assert_array_equal(out, pts)
+    if native.load() is None:
+        pytest.skip("native library unavailable (no compiler)")

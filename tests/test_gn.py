@@ -89,3 +89,31 @@ def test_max_iter_respected():
     T, diag = gauss_newton(stats_fn, jnp.eye(4), 7, 1e-9)
     assert int(jax.device_get(diag.iterations)) == 7
     assert not bool(jax.device_get(diag.converged))
+
+
+def test_huber_robust_weighting_downweights_outliers():
+    """Opt-in Huber IRLS (SURVEY M6): with gross outliers in the scan, the
+    robust solver must recover the transform better than plain least squares."""
+    import dataclasses
+    from point_cloud_registration_tpu import ICP
+    from oracles import make_scan, make_scene
+
+    rng = np.random.RandomState(55)
+    scene = make_scene(rng)
+    scan, T_true = make_scan(rng, scene, np.array([0.03, -0.02, 0.08, 0.008, -0.01, 0.012]))
+    # 10% gross outliers within the gate (1.5 m shifts)
+    n_out = len(scan) // 10
+    scan_out = scan.copy()
+    scan_out[:n_out] += (rng.rand(n_out, 3) - 0.5) * 3.0
+
+    def run(huber):
+        icp = ICP(max_iter=30, max_dist=2.0, tol=1e-3)
+        icp.cfg = dataclasses.replace(icp.cfg, huber_delta=huber)
+        icp.set_target(scene)
+        T = icp.align(scan_out)
+        return np.abs(T @ T_true - np.eye(4)).max()
+
+    err_plain = run(None)
+    err_robust = run(0.1)
+    assert err_robust < err_plain
+    assert err_robust < 0.03, (err_plain, err_robust)
