@@ -167,9 +167,12 @@ def main():
     results["icp"] = (t_icp, 0.502)
     log(f"ICP set_target+align: {t_icp:.3f}s (ref 0.502s)")
 
-    normals = pcr.estimate_normals(map_pts, k=15)  # warmup/compile
+    from point_cloud_registration_tpu.ops.normals import estimate_normals as estimate_normals_dev
+
+    jax.block_until_ready(estimate_normals_dev(map_pts, k=15))  # warmup/compile
     t0 = time.perf_counter()
-    normals = pcr.estimate_normals(map_pts, k=15)
+    normals = estimate_normals_dev(map_pts, k=15)  # device-resident output
+    jax.block_until_ready(normals)
     t_norm = time.perf_counter() - t0
     results["normals"] = (t_norm, 2.201)
     log(f"estimate_normals: {t_norm:.3f}s (ref 2.201s)")
@@ -177,6 +180,39 @@ def main():
     t_picp = timed(run_plane_icp(normals))
     results["plane_icp"] = (t_picp, 0.334)
     log(f"PlaneICP set_target+align (excl. normals): {t_picp:.3f}s (ref 0.334s)")
+
+    # Batched multi-scan registration throughput (SLAM front-end axis,
+    # BASELINE.json configs[4]): B scans aligned against one prebuilt map in
+    # a single batched program (vmap inside shard_map over a 1-chip mesh).
+    try:
+        from point_cloud_registration_tpu.core.config import VPlaneICPConfig
+        from point_cloud_registration_tpu.models import build_vplane_target
+        from point_cloud_registration_tpu.parallel import align_batched_sharded, make_mesh
+
+        cfg = VPlaneICPConfig(voxel_size=voxel_size, max_iter=max_iter, max_dist=max_dist, tol=tol)
+        target = build_vplane_target(map_pts, cfg)
+        B, n_b = 8, 16384
+        scans_np = np.stack(
+            [make_scan(np.random.RandomState(100 + b), map_np, n_b) for b in range(B)]
+        )
+        scans = jax.device_put(jnp.asarray(scans_np))
+        weights = jnp.ones((B, n_b), jnp.float32)
+        init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+        mesh = make_mesh(batch=1, data=1)
+
+        def run_batch():
+            out = align_batched_sharded("vplane_icp", target, scans, weights, init_Ts, cfg, mesh)
+            jax.block_until_ready(out.T)
+            return out
+
+        t_batch = timed(run_batch)
+        log(
+            f"batched VPlaneICP: {B} x {n_b}-pt scans in {t_batch:.3f}s -> "
+            f"{B / t_batch:.1f} registrations/s, {B * n_b / t_batch / 1e6:.2f} Mpts/s"
+        )
+        results["batched_regs_per_s"] = (B / t_batch, float("nan"))
+    except Exception as e:  # keep the headline metric robust
+        log("batched bench failed:", repr(e))
 
     for k, (t, ref) in results.items():
         log(f"  {k:12s} {t:7.3f}s  vs_baseline x{ref / t:.2f}")

@@ -51,14 +51,18 @@ class PointCorrTarget(NamedTuple):
 
 
 def build_point_corr(points, corr: CorrespondenceConfig, max_dist: float,
-                     *, proxy_min_points: int = 1) -> PointCorrTarget:
+                     *, proxy_min_points: int = 1, proxy_normals: bool = False) -> PointCorrTarget:
     points = jnp.asarray(points, jnp.float32)
     method = corr.resolved_method(points.shape[0])
     if method == "packed":
         cell_fine = corr.cell_fine if corr.cell_fine is not None else max_dist / 4
         pg = build_packed_grid(points, cell_fine, cap=corr.packed_cap)
         proxy = build_voxel_map(
-            points, max_dist / 2, min_points=proxy_min_points, with_icov=False
+            points,
+            max_dist / 2,
+            min_points=proxy_min_points,
+            with_icov=False,
+            with_normals=proxy_normals,
         )
         return PointCorrTarget(points=points, packed=pg, proxy=proxy, grid=None, buckets=None)
     cell = corr.cell_size if corr.cell_size is not None else max_dist / 2

@@ -47,7 +47,7 @@ def build_plane_icp_target(
         normals = estimate_normals(points, k=cfg.k)
     normals = jnp.asarray(normals, dtype=jnp.float32)
     # the proxy tier serves voxel *planes*, so ask for enough points per voxel
-    corr = build_point_corr(points, cfg.corr, cfg.max_dist, proxy_min_points=3)
+    corr = build_point_corr(points, cfg.corr, cfg.max_dist, proxy_min_points=3, proxy_normals=True)
     return PlaneICPTarget(corr=corr, normals=normals)
 
 

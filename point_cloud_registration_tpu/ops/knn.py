@@ -98,7 +98,9 @@ def nearest_voxel(
 # Cells per dense block along (x, y, z). A block is one gather row of
 # bx*by*bz*3 floats; bigger blocks cut gather-row count (the TPU bottleneck)
 # at the cost of distance math on a cell superset (VPU, nearly free).
-DENSE_BLOCK = (2, 2, 2)
+# (4, 4, 2) = 96 floats/row benchmarked fastest on v5e (tier-2's radius-2
+# window shrinks from 27 to 8 block gathers; the near pass stays at 8).
+DENSE_BLOCK = (4, 4, 2)
 
 
 def _block_span(radius_cells: int, b: int) -> int:

@@ -71,10 +71,11 @@ def build_packed_grid(points, cell_fine: float, cap: int = 32) -> PackedPointGri
         raise ValueError("block grid exceeds int32 keyspace; increase cell_fine")
 
     bkeys = _block_keys(points, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine), nb_dims)
-    n_occ = int(jax.device_get(_count_unique(bkeys)))
+    order, n_occ_dev = _sort_and_count(bkeys)
+    n_occ = int(jax.device_get(n_occ_dev))
     r_cap = 1 << max(0, (n_occ - 1).bit_length())
 
-    return _pack(points, bkeys, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine),
+    return _pack(points, bkeys, order, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine),
                  nb_dims=nb_dims, r_cap=r_cap, cap=cap)
 
 
@@ -86,15 +87,17 @@ def _block_keys(points, origin_fine, cell_fine, nb_dims):
 
 
 @jax.jit
-def _count_unique(keys):
-    s = jnp.sort(keys)
-    return jnp.sum(s[1:] != s[:-1]) + 1
+def _sort_and_count(keys):
+    """One sort serves both the occupied-block count (a static shape, hence
+    the host sync) and the packing permutation."""
+    order = jnp.argsort(keys, stable=True)
+    s = keys[order]
+    return order.astype(jnp.int32), jnp.sum(s[1:] != s[:-1]) + 1
 
 
 @partial(jax.jit, static_argnames=("nb_dims", "r_cap", "cap"))
-def _pack(points, bkeys, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
+def _pack(points, bkeys, order, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
     n = points.shape[0]
-    order = jnp.argsort(bkeys, stable=True)
     skeys = bkeys[order]
     arange = jnp.arange(n, dtype=jnp.int32)
     new_block = jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])

@@ -117,13 +117,15 @@ def build_voxel_map(
     *,
     min_points: int = 10,
     with_icov: bool = False,
+    with_normals: bool = True,
     capacity: int | None = None,
 ) -> VoxelMap:
     """Build the capacity-padded voxel map (reference ``set_points``).
 
     ``with_icov`` additionally materializes inverse covariances (NDT's
-    ``calc_icov``, ndt.py:21). One bounding-box host sync; the rest is a
-    single jitted program.
+    ``calc_icov``, ndt.py:21); ``with_normals=False`` skips second moments
+    and the eigensolve entirely (centroid-only maps, e.g. the ICP proxy).
+    One bounding-box host sync; the rest is a single jitted program.
     """
     points = jnp.asarray(points, dtype=jnp.float32)
     lo_cell, hi_cell = _bbox_cells(points, voxel_size)
@@ -140,6 +142,7 @@ def build_voxel_map(
             dims_static=dims,
             min_points=min_points,
             with_icov=with_icov,
+            with_normals=with_normals or with_icov,
         )
         grid = vm.grid
     else:
@@ -147,9 +150,9 @@ def build_voxel_map(
         vm = _finish_voxel_map(
             points, grid, inverse, min_points=min_points, with_icov=with_icov
         )
+        dims = tuple(int(x) for x in jax.device_get(grid.dims))
     if grid.dense is not None:
         # blocked centroid table needs static block-grid dims (host ints)
-        dims = tuple(int(x) for x in jax.device_get(grid.dims))
         nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
         blocks = _build_blocks_jit(grid, vm.means, vm.valid, nb)
         vm = vm._replace(dense_blocks=blocks, nb_dims=jnp.asarray(nb, jnp.int32))
@@ -159,8 +162,8 @@ def build_voxel_map(
 _build_blocks_jit = partial(jax.jit, static_argnames=("nb_dims_static",))(build_dense_blocks)
 
 
-@partial(jax.jit, static_argnames=("dims_static", "min_points", "with_icov"))
-def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_points, with_icov):
+@partial(jax.jit, static_argnames=("dims_static", "min_points", "with_icov", "with_normals"))
+def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_points, with_icov, with_normals=True):
     nx, ny, nz = dims_static
     d_total = nx * ny * nz
     coords = cell_coords(points, cell_size)
@@ -173,38 +176,39 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_p
     # E[pp^T] - mu mu^T cancellation is float32-benign (unlike the
     # reference's global-coordinate float32 moments, estimate_normals.py:50).
     local = points - corner
-    vals = jnp.concatenate(
-        [
-            jnp.ones((points.shape[0], 1), jnp.float32),
-            local,
+    parts = [jnp.ones((points.shape[0], 1), jnp.float32), local]
+    if with_normals:
+        parts += [
             local[:, 0:1] * local,  # xx, xy, xz
             local[:, 1:2] * local[:, 1:3],  # yy, yz
             local[:, 2:3] * local[:, 2:3],  # zz
-        ],
-        axis=-1,
-    )  # (N, 10)
-    acc = jnp.zeros((d_total, 10), jnp.float32).at[key].add(vals)
+        ]
+    vals = jnp.concatenate(parts, axis=-1)  # (N, 4 or 10)
+    acc = jnp.zeros((d_total, vals.shape[1]), jnp.float32).at[key].add(vals)
     counts_f = acc[:, 0]
     counts = counts_f.astype(jnp.int32)
     safe_n = jnp.maximum(counts_f, 1.0)
     mean_local = acc[:, 1:4] / safe_n[:, None]
-    # packed order [xx, yy, zz, xy, xz, yz] from accumulated [xx,xy,xz,yy,yz,zz]
-    sq = jnp.stack(
-        [acc[:, 4], acc[:, 7], acc[:, 9], acc[:, 5], acc[:, 6], acc[:, 8]], axis=-1
-    )
-    mu_outer = jnp.stack(
-        [
-            mean_local[:, 0] * mean_local[:, 0],
-            mean_local[:, 1] * mean_local[:, 1],
-            mean_local[:, 2] * mean_local[:, 2],
-            mean_local[:, 0] * mean_local[:, 1],
-            mean_local[:, 0] * mean_local[:, 2],
-            mean_local[:, 1] * mean_local[:, 2],
-        ],
-        axis=-1,
-    )
-    # (sum pp^T - n mu mu^T) / max(n - 1, 1)  (reference divisor, voxel.py:140-148)
-    covs = (sq - counts_f[:, None] * mu_outer) / jnp.maximum(counts_f - 1.0, 1.0)[:, None]
+    if with_normals:
+        # packed order [xx, yy, zz, xy, xz, yz] from accumulated [xx,xy,xz,yy,yz,zz]
+        sq = jnp.stack(
+            [acc[:, 4], acc[:, 7], acc[:, 9], acc[:, 5], acc[:, 6], acc[:, 8]], axis=-1
+        )
+        mu_outer = jnp.stack(
+            [
+                mean_local[:, 0] * mean_local[:, 0],
+                mean_local[:, 1] * mean_local[:, 1],
+                mean_local[:, 2] * mean_local[:, 2],
+                mean_local[:, 0] * mean_local[:, 1],
+                mean_local[:, 0] * mean_local[:, 2],
+                mean_local[:, 1] * mean_local[:, 2],
+            ],
+            axis=-1,
+        )
+        # (sum pp^T - n mu mu^T) / max(n - 1, 1)  (reference divisor, voxel.py:140-148)
+        covs = (sq - counts_f[:, None] * mu_outer) / jnp.maximum(counts_f - 1.0, 1.0)[:, None]
+    else:
+        covs = jnp.zeros((d_total, 6), jnp.float32)
 
     # Per-slot cell corner analytically from the slot index (no scatter).
     slot = jnp.arange(d_total, dtype=jnp.int32)
@@ -215,11 +219,14 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_p
     means = mean_local + slot_corner
 
     valid = counts >= min_points
-    # Normals only for cells that can be valid: at most N // min_points slots.
-    vc = int(min(d_total, max(points.shape[0] // max(min_points, 1), 1)))
-    vidx = jnp.nonzero(valid, size=vc, fill_value=d_total - 1)[0]
-    nrm_sub = smallest_eigvec_sym3(covs[vidx])
-    normals = jnp.zeros((d_total, 3), jnp.float32).at[vidx].set(nrm_sub)
+    if with_normals:
+        # Normals only for cells that can be valid: at most N // min_points slots.
+        vc = int(min(d_total, max(points.shape[0] // max(min_points, 1), 1)))
+        vidx = jnp.nonzero(valid, size=vc, fill_value=d_total - 1)[0]
+        nrm_sub = smallest_eigvec_sym3(covs[vidx])
+        normals = jnp.zeros((d_total, 3), jnp.float32).at[vidx].set(nrm_sub)
+    else:
+        normals = jnp.zeros((d_total, 3), jnp.float32)
     icovs = invert_cov_packed(covs) if with_icov else None
     identity = jnp.arange(d_total, dtype=jnp.int32)
     grid = Grid(
