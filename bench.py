@@ -111,8 +111,17 @@ def timed(fn, warmup=1, reps=3):
 
 
 def main():
-    import point_cloud_registration_tpu as pcr
     import jax
+
+    # Persistent compilation cache: compiles through this container's remote
+    # tunnel cost 30-60 s per program, so warm runs must reuse them.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    import point_cloud_registration_tpu as pcr
     import jax.numpy as jnp
 
     log("devices:", jax.devices())

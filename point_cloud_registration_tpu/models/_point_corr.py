@@ -17,6 +17,7 @@ Wraps the two interchangeable backends behind one target representation:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -57,17 +58,86 @@ def build_point_corr(points, corr: CorrespondenceConfig, max_dist: float,
     if method == "packed":
         cell_fine = corr.cell_fine if corr.cell_fine is not None else max_dist / 4
         pg = build_packed_grid(points, cell_fine, cap=corr.packed_cap)
-        proxy = build_voxel_map(
-            points,
-            max_dist / 2,
-            min_points=proxy_min_points,
-            with_icov=False,
-            with_normals=proxy_normals,
+        proxy = proxy_from_packed(
+            pg, min_points=proxy_min_points, with_normals=proxy_normals
         )
         return PointCorrTarget(points=points, packed=pg, proxy=proxy, grid=None, buckets=None)
     cell = corr.cell_size if corr.cell_size is not None else max_dist / 2
     grid, _, buckets = build_grid(points, cell, with_buckets=True)
     return PointCorrTarget(points=points, packed=None, proxy=None, grid=grid, buckets=buckets)
+
+
+def proxy_from_packed(pg, *, min_points: int, with_normals: bool) -> VoxelMap:
+    """Derive the coarse proxy voxel map from the packed tables — no second
+    pass over the raw points.
+
+    A packed block IS an absolute voxel of size ``2 * cell_fine``
+    (``origin_fine`` is even-aligned), so per-block count/mean/covariance are
+    reductions over the packed rows: 131k-row elementwise work instead of a
+    second 1.2M-point scatter. Statistics see only the first ``cap`` points
+    of overflowing blocks — irrelevant for a far-match proxy.
+    """
+    from point_cloud_registration_tpu.ops.knn import DENSE_BLOCK
+    from point_cloud_registration_tpu.ops.voxelize import _build_blocks_jit
+
+    nb_dims = tuple(int(x) for x in jax.device_get(pg.nb_dims))
+    vm = _proxy_stats(pg, min_points=min_points, with_normals=with_normals,
+                      nb_dims_static=nb_dims)
+    nb2 = tuple(-(-d // b) for d, b in zip(nb_dims, DENSE_BLOCK))
+    blocks = _build_blocks_jit(vm.grid, vm.means, vm.valid, nb2)
+    return vm._replace(dense_blocks=blocks, nb_dims=jnp.asarray(nb2, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("min_points", "with_normals", "nb_dims_static"))
+def _proxy_stats(pg, *, min_points, with_normals, nb_dims_static):
+    from point_cloud_registration_tpu.ops.eigh3 import smallest_eigvec_sym3
+    from point_cloud_registration_tpu.ops.hashgrid import Grid
+
+    r1 = pg.pts_packed.shape[0]
+    cap = pg.idx_packed.shape[1]
+    pts = pg.pts_packed.reshape(r1, cap, 3)
+    mask = jnp.isfinite(pts[..., 0])
+    cnt = jnp.sum(mask, axis=1).astype(jnp.int32)  # (R+1,)
+    safe = jnp.where(mask[..., None], pts, 0.0)
+    denom = jnp.maximum(cnt, 1).astype(jnp.float32)[:, None]
+    means = jnp.sum(safe, axis=1) / denom
+    if with_normals:
+        centered = jnp.where(mask[..., None], pts - means[:, None, :], 0.0)
+        cov6 = jnp.stack(
+            [
+                jnp.sum(centered[..., 0] * centered[..., 0], axis=1),
+                jnp.sum(centered[..., 1] * centered[..., 1], axis=1),
+                jnp.sum(centered[..., 2] * centered[..., 2], axis=1),
+                jnp.sum(centered[..., 0] * centered[..., 1], axis=1),
+                jnp.sum(centered[..., 0] * centered[..., 2], axis=1),
+                jnp.sum(centered[..., 1] * centered[..., 2], axis=1),
+            ],
+            axis=-1,
+        ) / jnp.maximum(cnt - 1, 1).astype(jnp.float32)[:, None]
+        normals = smallest_eigvec_sym3(cov6)
+    else:
+        cov6 = jnp.zeros((r1, 6), jnp.float32)
+        normals = jnp.zeros((r1, 3), jnp.float32)
+    valid = cnt >= min_points
+    grid = Grid(
+        origin_cell=pg.origin_fine // 2,
+        cell_size=pg.cell_fine * 2.0,
+        dims=jnp.asarray(nb_dims_static, jnp.int32),
+        keys=pg.row_key,
+        n_cells=jnp.sum(cnt > 0).astype(jnp.int32),
+        dense=pg.block_row,
+    )
+    return VoxelMap(
+        grid=grid,
+        means=means,
+        covs=cov6,
+        normals=normals,
+        counts=cnt,
+        valid=valid,
+        icovs=None,
+        dense_blocks=None,
+        nb_dims=None,
+    )
 
 
 class PointMatch(NamedTuple):
@@ -108,7 +178,9 @@ def match_points(target: PointCorrTarget, query: jax.Array, corr: Correspondence
     mask = jnp.logical_not(t1.resolved)
     n_unres = jnp.sum(mask)
     cap = max(n // 4, 1024)
-    proxy_vs = float(max_dist / 2)
+    # the proxy's voxels are the packed blocks: 2 * cell_fine (static)
+    cell_fine = corr.cell_fine if corr.cell_fine is not None else max_dist / 4
+    proxy_vs = float(2 * cell_fine)
 
     inf_d = query[:, 0] * 0 + _BIG
     neg1 = jnp.zeros_like(t1.idx) - 1

@@ -39,12 +39,18 @@ _BLOCK = 2  # fine cells per block edge
 
 
 class PackedPointGrid(NamedTuple):
-    """Blocked packed candidate tables for one target cloud (a pytree)."""
+    """Blocked packed candidate tables for one target cloud (a pytree).
 
-    origin_fine: jax.Array  # (3,) i32 — min fine-cell coordinate
+    ``origin_fine`` is rounded down to an even multiple so blocks coincide
+    with absolute cells of size ``2 * cell_fine`` (lets the proxy voxel map
+    share this table — see models/_point_corr.proxy_from_packed).
+    """
+
+    origin_fine: jax.Array  # (3,) i32 — min fine-cell coordinate (even)
     cell_fine: jax.Array  # () f32
     nb_dims: jax.Array  # (3,) i32 — block-grid dims
     block_row: jax.Array  # (NB,) i32 — block key -> packed row (-1 empty)
+    row_key: jax.Array  # (R+1,) i32 — packed row -> block key (-1 padding)
     pts_packed: jax.Array  # (R+1, cap*3) f32 — block points, +inf padded
     idx_packed: jax.Array  # (R+1, cap) i32 — original point indices, -1 padded
 
@@ -64,6 +70,7 @@ def build_packed_grid(points, cell_fine: float, cap: int = 32) -> PackedPointGri
     count (two tiny transfers); the heavy sort/pack is one jitted program."""
     points = jnp.asarray(points, jnp.float32)
     lo_cell, hi_cell = _bbox_cells(points, cell_fine)
+    lo_cell = (lo_cell // _BLOCK) * _BLOCK  # align blocks to absolute 2*cell_fine cells
     dims_f = hi_cell - lo_cell + 1
     nb_dims = tuple(int(-(-d // _BLOCK)) for d in dims_f)
     nb_total = int(np.prod(nb_dims))
@@ -110,6 +117,9 @@ def _pack(points, bkeys, order, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
     block_row = jnp.full((nb_total,), -1, jnp.int32).at[
         jnp.where(new_block, skeys, nb_total)
     ].set(row, mode="drop")
+    row_key = jnp.full((r_cap + 1,), -1, jnp.int32).at[
+        jnp.where(new_block, row, r_cap + 1)
+    ].set(skeys, mode="drop")
 
     keep = rank < cap
     flat_pts = jnp.full(((r_cap + 1) * cap * 3,), jnp.inf, jnp.float32)
@@ -128,6 +138,7 @@ def _pack(points, bkeys, order, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
         cell_fine=cell_fine,
         nb_dims=jnp.asarray(nb_dims, jnp.int32),
         block_row=block_row,
+        row_key=row_key,
         pts_packed=flat_pts.reshape(r_cap + 1, cap * 3),
         idx_packed=flat_idx.reshape(r_cap + 1, cap),
     )
