@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Measured comparison against the actual reference implementation.
+
+Counterpart of the reference's own competitor harness
+(benchmark/speed_test_comparison.py:162-217, which timed it against Open3D /
+small_gicp / PCL): here the *competitor* is the reference NumPy library
+itself, imported from its read-only mount and executed on this machine's CPU
+with a scipy-cKDTree shim standing in for pykdtree (same query contract,
+kdtree.py:18-25). This yields
+
+* a measured NumPy baseline on identical data (the reference README's table
+  was recorded on unspecified hardware), and
+* direct final-transform parity between the TPU solvers and the reference.
+
+Usage:  python benchmark/compare_reference.py [--n-map 1200000] [--n-scan 100000]
+        (runs our solvers on whatever JAX backend is active)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REFERENCE_PATH = os.environ.get("PCR_REFERENCE_PATH", "/root/reference")
+
+
+def import_reference():
+    """Import the mounted reference package with scipy standing in for pykdtree."""
+    from scipy.spatial import cKDTree
+
+    class _KDTree:
+        def __init__(self, data):
+            self._t = cKDTree(np.asarray(data, np.float64))
+
+        def query(self, x, k=1):
+            d, i = self._t.query(np.asarray(x, np.float64), k=k)
+            return np.asarray(d, np.float32), np.asarray(i)
+
+    pyk = types.ModuleType("pykdtree")
+    pykk = types.ModuleType("pykdtree.kdtree")
+    pykk.KDTree = _KDTree
+    pyk.kdtree = pykk
+    sys.modules.setdefault("pykdtree", pyk)
+    sys.modules.setdefault("pykdtree.kdtree", pykk)
+    sys.path.insert(0, REFERENCE_PATH)
+    import point_cloud_registration as ref
+
+    return ref
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n-map", type=int, default=1_200_000)
+    ap.add_argument("--n-scan", type=int, default=100_000)
+    args = ap.parse_args()
+
+    import bench
+
+    rng = np.random.RandomState(42)
+    map_np = bench.make_city_map(rng, args.n_map)
+    scan_np = bench.make_scan(rng, map_np, args.n_scan)
+    print(f"map {map_np.shape}, scan {scan_np.shape}")
+
+    ref = import_reference()
+    import jax
+    import jax.numpy as jnp
+
+    import point_cloud_registration_tpu as pcr
+
+    print("our backend:", jax.default_backend())
+    map_dev = jax.device_put(jnp.asarray(map_np))
+    scan_dev = jax.device_put(jnp.asarray(scan_np))
+    jax.block_until_ready((map_dev, scan_dev))
+
+    params = dict(max_iter=30, max_dist=2, tol=1e-3)
+    cases = [
+        ("ICP", lambda m: m.ICP(**params), {}),
+        ("VPlaneICP", lambda m: m.VPlaneICP(voxel_size=1.0, **params), {}),
+        ("NDT", lambda m: m.NDT(voxel_size=1.0, **params), {}),
+    ]
+
+    print(f"{'method':12s} {'ref CPU (s)':>12s} {'ours (s)':>10s} {'speedup':>8s} {'|dT|max':>9s}")
+    for name, ctor, _ in cases:
+        t0 = time.perf_counter()
+        solver_ref = ctor(ref)
+        solver_ref.set_target(map_np.astype(np.float32))
+        T_ref = solver_ref.align(scan_np)
+        t_ref = time.perf_counter() - t0
+
+        ours = ctor(pcr)
+        ours.set_target(map_dev)  # warm compile
+        ours.align(scan_dev)
+        t0 = time.perf_counter()
+        ours2 = ctor(pcr)
+        ours2.set_target(map_dev)
+        T_ours = ours2.align(scan_dev)
+        t_ours = time.perf_counter() - t0
+
+        dT = np.abs(np.asarray(T_ours) - np.asarray(T_ref)).max()
+        print(f"{name:12s} {t_ref:12.3f} {t_ours:10.3f} {t_ref / t_ours:7.1f}x {dT:9.5f}")
+
+
+if __name__ == "__main__":
+    main()
