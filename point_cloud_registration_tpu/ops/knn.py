@@ -119,12 +119,14 @@ def nearest_voxel_blocks(
 ) -> NNResult:
     """Nearest-voxel query against a blocked dense centroid table.
 
-    ``dense_blocks`` is (NB + 1, bx*by*bz*3): row j holds the centroids of
-    the 2x2x2 cells of block j (+inf where empty/invalid/out-of-grid); the
-    last row is the out-of-range sentinel. One gather row serves 8 candidate
-    cells, cutting the gather-row count — the TPU-side bottleneck of this
-    query — ~3.4x vs per-cell probing; the extra cells a block window covers
-    beyond the exact cell window only ever *improve* the candidate set.
+    ``dense_blocks`` is (nbz, nby, nbx, bx*by*bz*3): entry [bz, by, bx] holds
+    the centroids of that block's cells (+inf where empty/invalid/
+    out-of-grid). One fetched block row serves bx*by*bz candidate cells,
+    cutting the gather-row count — the TPU-side bottleneck of this query —
+    vs per-cell probing; the extra cells a block window covers beyond the
+    exact cell window only ever *improve* the candidate set. Large query
+    sets take the tiled MXU one-hot path (:func:`_tiled_near_pass`) for the
+    near window instead of row gathers.
 
     Two-tier exactness: the near pass covers cell radius ``radius_near``; a
     query whose best distance is below ``radius_near * cell_size`` is
@@ -136,7 +138,8 @@ def nearest_voxel_blocks(
     """
     bx, by, bz = DENSE_BLOCK
     w = bx * by * bz
-    sentinel_row = jnp.int32(dense_blocks.shape[0] - 1)
+    nbz_s, nby_s, nbx_s = dense_blocks.shape[0], dense_blocks.shape[1], dense_blocks.shape[2]
+    flat_blocks = dense_blocks.reshape(nbz_s * nby_s * nbx_s, w * 3)
     nbx, nby, nbz = nb_dims[0], nb_dims[1], nb_dims[2]
     gnx, gny = grid.dims[0], grid.dims[1]  # true cell-grid dims for final keys
     cell_sentinel = jnp.int32(np.iinfo(np.int32).max)
@@ -161,8 +164,9 @@ def nearest_voxel_blocks(
                     b3 = lo_b + jnp.asarray([dbx, dby, dbz], jnp.int32)
                     ok = jnp.all((b3 >= 0) & (b3 < nb_dims), axis=-1)
                     row = b3[:, 0] + nbx * (b3[:, 1] + nby * b3[:, 2])
-                    row = jnp.where(ok, row, sentinel_row)
-                    cells = dense_blocks[row].reshape(-1, w, 3)  # (M, w, 3)
+                    row = jnp.where(ok, row, 0)
+                    cells = flat_blocks[row].reshape(-1, w, 3)  # (M, w, 3)
+                    cells = jnp.where(ok[:, None, None], cells, jnp.inf)
                     diff = q[:, None, :] - cells
                     d2 = (
                         diff[..., 0] * diff[..., 0]
@@ -182,7 +186,11 @@ def nearest_voxel_blocks(
                     best_key = jnp.where(better, key, best_key)
         return best_d2, best_key
 
-    best_d2, best_key = block_pass(query, rel, radius_near)
+    spans_near = [_block_span(radius_near, b) for b in DENSE_BLOCK]
+    if USE_TILED_NEAR and query.shape[0] >= 4096 and all(sp == 2 for sp in spans_near):
+        best_d2, best_key = _tiled_near_pass(grid, dense_blocks, query, rel, radius_near)
+    else:
+        best_d2, best_key = block_pass(query, rel, radius_near)
 
     if radius_full > radius_near:
         exact_r = radius_near * grid.cell_size
@@ -217,6 +225,131 @@ def nearest_voxel_blocks(
     return NNResult(dist=jnp.sqrt(best_d2), idx=best_key)
 
 
+_TILE_Q = 512  # queries per tile in the tiled (MXU one-hot) near pass
+_REGION = 8  # region edge in blocks (per axis, clamped to the block grid)
+# Opt-in: measured SLOWER end-to-end on v5e than the fat-row gather pass
+# (0.57s vs 0.26s align at 131k queries) — the per-iteration Morton sort,
+# permutation gathers and ~250 sequential tile dispatches outweigh the MXU
+# gather savings. Kept (tested) as the starting point for a fused Pallas
+# region pass, which eliminates exactly those overheads.
+USE_TILED_NEAR = False
+
+
+def _morton10(c: jax.Array) -> jax.Array:
+    """Interleave 10 bits per axis of (N, 3) non-negative coords -> (N,) i32."""
+
+    def spread(x):
+        x = x & 0x3FF
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return spread(c[:, 0]) | (spread(c[:, 1]) << 1) | (spread(c[:, 2]) << 2)
+
+
+def _tiled_near_pass(grid: Grid, blocks3d: jax.Array, query: jax.Array, rel: jax.Array,
+                     radius: int):
+    """Near-window nearest-voxel via region slices + MXU one-hot gathers.
+
+    XLA's gather is row-bound (~60 ns/row), which makes the 8-probe near pass
+    the align-loop bottleneck. This path exploits spatial coherence instead:
+    queries are Morton-sorted so each 512-query tile touches a small box of
+    blocks; the box is fetched with ONE dynamic_slice (static ``_REGION``^3
+    blocks) and per-query rows are extracted with a one-hot (TQ, R^3) @
+    (R^3, W) matmul — an exact-f32 gather running on the MXU at effectively
+    zero cost. Tile-stragglers whose window exceeds the clamped region simply
+    come back unresolved and reuse the existing compact fallback tier, so
+    correctness never depends on the clamp.
+
+    Returns (best_d2, best_key) in original query order.
+    """
+    bx, by, bz = DENSE_BLOCK
+    w = bx * by * bz
+    nbz, nby, nbx = blocks3d.shape[0], blocks3d.shape[1], blocks3d.shape[2]
+    gnx, gny = grid.dims[0], grid.dims[1]
+    cell_sentinel = jnp.int32(np.iinfo(np.int32).max)
+    n = query.shape[0]
+    block = jnp.asarray(DENSE_BLOCK, jnp.int32)
+
+    rz = min(_REGION, int(blocks3d.shape[0]))
+    ry = min(_REGION, int(blocks3d.shape[1]))
+    rx = min(_REGION, int(blocks3d.shape[2]))
+    ncell_region = rz * ry * rx
+
+    lo_b = jnp.floor_divide(rel - radius, block)  # (N, 3) window origin block
+    order = jnp.argsort(_morton10(jnp.clip(lo_b, 0, None)), stable=True).astype(jnp.int32)
+    n_pad = -(-n // _TILE_Q) * _TILE_Q
+    pad_ids = jnp.concatenate(
+        [order, jnp.zeros((n_pad - n,), jnp.int32)]
+    )
+    q_s = query[pad_ids].reshape(-1, _TILE_Q, 3)
+    lo_s = lo_b[pad_ids].reshape(-1, _TILE_Q, 3)
+    rel_s = rel[pad_ids].reshape(-1, _TILE_Q, 3)
+
+    lx = jnp.arange(w, dtype=jnp.int32) % bx
+    ly = (jnp.arange(w, dtype=jnp.int32) // bx) % by
+    lz = jnp.arange(w, dtype=jnp.int32) // (bx * by)
+    iota = jnp.arange(ncell_region, dtype=jnp.int32)
+
+    def one_tile(args):
+        q, lo, _rel = args  # (TQ, 3) each
+        ori = jnp.min(lo, axis=0)
+        ori = jnp.clip(
+            ori,
+            0,
+            jnp.asarray([nbx - rx, nby - ry, nbz - rz], jnp.int32),
+        )  # (3,) x, y, z order
+        region = jax.lax.dynamic_slice(
+            blocks3d, (ori[2], ori[1], ori[0], 0), (rz, ry, rx, blocks3d.shape[3])
+        ).reshape(ncell_region, w * 3)
+        rel_b = lo - ori  # (TQ, 3)
+        # the 2x2x2 window must fit inside the region
+        in_box = jnp.all((rel_b >= 0) & (rel_b + 1 <= jnp.asarray([rx - 1, ry - 1, rz - 1])), axis=-1)
+
+        best_d2 = q[:, 0] * 0 + _BIG
+        best_key = jnp.zeros_like(lo[:, 0]) + cell_sentinel
+        for db in range(8):
+            d3 = jnp.asarray([db & 1, (db >> 1) & 1, db >> 2], jnp.int32)
+            b3 = lo + d3  # global block coords
+            ok = (
+                in_box
+                & jnp.all((b3 >= 0) & (b3 < jnp.asarray([nbx, nby, nbz])), axis=-1)
+            )
+            rb = rel_b + d3
+            ridx = rb[:, 0] + rx * (rb[:, 1] + ry * rb[:, 2])
+            ridx = jnp.where(ok, ridx, 0)
+            onehot = ((ridx[:, None] == iota[None, :]) & ok[:, None]).astype(jnp.float32)
+            rows = jnp.dot(
+                onehot, region, precision=jax.lax.Precision.HIGHEST
+            )  # (TQ, w*3) exact-f32 MXU gather
+            cells = rows.reshape(_TILE_Q, w, 3)
+            cells = jnp.where(ok[:, None, None], cells, jnp.inf)
+            diff = q[:, None, :] - cells
+            d2 = diff[..., 0] ** 2 + diff[..., 1] ** 2 + diff[..., 2] ** 2
+            arg = jnp.argmin(d2, axis=1)
+            d2m = jnp.take_along_axis(d2, arg[:, None], axis=1)[:, 0]
+            cx = b3[:, 0] * bx + lx[arg]
+            cy = b3[:, 1] * by + ly[arg]
+            cz = b3[:, 2] * bz + lz[arg]
+            key = cx + gnx * (cy + gny * cz)
+            better = d2m < best_d2
+            best_d2 = jnp.where(better, d2m, best_d2)
+            best_key = jnp.where(better, key, best_key)
+        return best_d2, best_key
+
+    d2_t, key_t = jax.lax.map(one_tile, (q_s, lo_s, rel_s))
+    d2_flat = d2_t.reshape(n_pad)
+    key_flat = key_t.reshape(n_pad)
+    # Unsort: sorted position i belongs to original index pad_ids[i]. The
+    # padded tail reuses pad_ids = 0, i.e. it recomputes query 0's result
+    # identically, so duplicate scatter writes are consistent.
+    best_d2 = (query[:, 0] * 0 + _BIG).at[pad_ids].set(d2_flat)
+    best_key = (jnp.zeros_like(rel[:, 0]) + cell_sentinel).at[pad_ids].set(key_flat)
+    return best_d2, best_key
+
+
 def build_dense_blocks(
     grid: Grid, means: jax.Array, valid: jax.Array, nb_dims_static: tuple[int, int, int]
 ) -> jax.Array:
@@ -240,12 +373,12 @@ def build_dense_blocks(
     brow = (cx // bx) + nbx * ((cy // by) + nby * (cz // bz))
     col = (cx % bx) + bx * ((cy % by) + by * (cz % bz))
     flat_base = brow * (w * 3) + col * 3
-    table = jnp.full(((nb + 1) * w * 3,), jnp.inf, jnp.float32)
-    oob = jnp.int32((nb + 1) * w * 3)  # dropped by the scatter
+    table = jnp.full((nb * w * 3,), jnp.inf, jnp.float32)
+    oob = jnp.int32(nb * w * 3)  # dropped by the scatter
     for comp in range(3):
         idx = jnp.where(ok, flat_base + comp, oob)
         table = table.at[idx].set(means[:, comp], mode="drop")
-    return table.reshape(nb + 1, w * 3)
+    return table.reshape(nbz, nby, nbx, w * 3)
 
 
 def nearest_point(
