@@ -94,6 +94,16 @@ class VoxelGrid:
         )
         self._compact = {}
 
+    def update_points(self, points) -> None:
+        """Incrementally merge points into the voxel statistics
+        (update_voxel_map; reference's unimplemented update intent)."""
+        from point_cloud_registration_tpu.ops.voxelize import update_voxel_map
+
+        self._map = update_voxel_map(self.voxel_map, points, min_points=self.min_points)
+        if self._map.icovs is not None:
+            pass
+        self._compact = {}
+
     def calc_icov(self) -> None:
         """Attach analytic inverse covariances (voxel.py:69-102)."""
         m = self.voxel_map

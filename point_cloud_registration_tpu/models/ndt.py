@@ -78,6 +78,15 @@ class NDT(Registration):
     def set_target(self, target) -> None:
         self._target = build_ndt_target(target, self.cfg)
 
+    def update_target(self, target) -> None:
+        """Incremental map update (reference intent, registration.py:36-43)."""
+        from point_cloud_registration_tpu.ops.voxelize import update_voxel_map
+
+        if self._target is None:
+            self.set_target(target)
+            return
+        self._target = update_voxel_map(self._target, target, min_points=self.cfg.min_points)
+
     @property
     def voxels(self) -> VoxelMap:
         return self._target

@@ -80,6 +80,16 @@ class VPlaneICP(Registration):
     def set_target(self, target) -> None:
         self._target = build_vplane_target(target, self.cfg)
 
+    def update_target(self, target) -> None:
+        """Incremental map update — the capability the reference declares but
+        never implements (registration.py:36-43)."""
+        from point_cloud_registration_tpu.ops.voxelize import update_voxel_map
+
+        if self._target is None:
+            self.set_target(target)
+            return
+        self._target = update_voxel_map(self._target, target, min_points=self.cfg.min_points)
+
     @property
     def voxels(self) -> VoxelMap:
         """Attribute parity with the reference (voxelized_plane_icp.py:19)."""

@@ -35,5 +35,7 @@ from point_cloud_registration_tpu.ops.voxelize import (
     build_voxel_map,
     color_by_voxel,
     invert_cov_packed,
+    query_nearest_voxel,
+    update_voxel_map,
     voxel_filter,
 )

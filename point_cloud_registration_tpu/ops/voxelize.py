@@ -298,6 +298,118 @@ def query_nearest_voxel(vmap_: VoxelMap, query, *, voxel_size: float, max_dist: 
     return nearest_voxel(vmap_.grid, vmap_.means, vmap_.valid, query, offsets_full)
 
 
+def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10) -> VoxelMap:
+    """Incrementally merge ``new_points`` into an existing dense-direct map.
+
+    The capability the reference declares but never implements
+    (``Registration.update_target`` "update map w/o rebuilding index",
+    registration.py:36-43). Per-voxel count/mean/covariance are merged with
+    the parallel-axis (Chan) formulas, normals/icovs are re-derived, and the
+    blocked query table is rebuilt — no sort, no re-touching of old points.
+
+    Points outside the map's bounding box cannot extend a dense grid and are
+    dropped (extend by rebuilding with ``build_voxel_map``); the count of
+    dropped points is available from ``counts`` bookkeeping if needed.
+    Requires a dense-direct map (``grid.dense is not None``).
+    """
+    if vm.grid.dense is None:
+        raise NotImplementedError("update_voxel_map requires a dense-direct map")
+    new_points = jnp.asarray(new_points, dtype=jnp.float32)
+    with_icov = vm.icovs is not None
+    nb_dims = tuple(int(x) for x in jax.device_get(vm.nb_dims)) if vm.nb_dims is not None else None
+    vm2 = _update_voxel_map_dense(vm, new_points, with_icov=with_icov, min_points=min_points)
+    if nb_dims is not None:
+        dims = tuple(int(x) for x in jax.device_get(vm.grid.dims))
+        nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
+        blocks = _build_blocks_jit(vm2.grid, vm2.means, vm2.valid, nb)
+        vm2 = vm2._replace(dense_blocks=blocks, nb_dims=jnp.asarray(nb, jnp.int32))
+    return vm2
+
+
+@partial(jax.jit, static_argnames=("with_icov", "min_points"))
+def _update_voxel_map_dense(vm: VoxelMap, new_points, *, with_icov, min_points):
+    grid = vm.grid
+    d_total = vm.means.shape[0]
+    nx, ny = grid.dims[0], grid.dims[1]
+    coords = cell_coords(new_points, grid.cell_size)
+    rel = coords - grid.origin_cell
+    in_range = jnp.all((rel >= 0) & (rel < grid.dims), axis=-1)
+    key = rel[:, 0] + nx * (rel[:, 1] + ny * rel[:, 2])
+    key = jnp.where(in_range, key, d_total)  # out-of-bounds -> dropped
+
+    corner = coords.astype(jnp.float32) * grid.cell_size
+    local = new_points - corner
+    vals = jnp.concatenate(
+        [
+            jnp.ones((new_points.shape[0], 1), jnp.float32),
+            local,
+            local[:, 0:1] * local,
+            local[:, 1:2] * local[:, 1:3],
+            local[:, 2:3] * local[:, 2:3],
+        ],
+        axis=-1,
+    )
+    acc = jnp.zeros((d_total, 10), jnp.float32).at[key].add(vals, mode="drop")
+    m = acc[:, 0]
+    m_safe = jnp.maximum(m, 1.0)
+    mean_b_local = acc[:, 1:4] / m_safe[:, None]
+    sq_b = jnp.stack(
+        [acc[:, 4], acc[:, 7], acc[:, 9], acc[:, 5], acc[:, 6], acc[:, 8]], axis=-1
+    )
+    mu_b = _outer6(mean_b_local)
+    # raw (un-normalized) second central moment of the new batch
+    M2_b = sq_b - m[:, None] * mu_b
+
+    # existing stats, back in cell-local coordinates
+    slot = jnp.arange(d_total, dtype=jnp.int32)
+    scx = slot % nx + grid.origin_cell[0]
+    scy = (slot // nx) % ny + grid.origin_cell[1]
+    scz = slot // (nx * ny) + grid.origin_cell[2]
+    slot_corner = jnp.stack([scx, scy, scz], axis=-1).astype(jnp.float32) * grid.cell_size
+    n = vm.counts.astype(jnp.float32)
+    mean_a_local = vm.means - slot_corner
+    M2_a = vm.covs * jnp.maximum(n - 1.0, 1.0)[:, None]
+
+    # Chan parallel merge
+    tot = n + m
+    tot_safe = jnp.maximum(tot, 1.0)
+    delta = mean_b_local - mean_a_local
+    mean_local = mean_a_local + delta * (m / tot_safe)[:, None]
+    M2 = M2_a + M2_b + _outer6(delta) * (n * m / tot_safe)[:, None]
+    covs = M2 / jnp.maximum(tot - 1.0, 1.0)[:, None]
+    covs = jnp.where((n[:, None] > 0) | (m[:, None] > 0), covs, 0.0)
+    mean_local = jnp.where((tot > 0)[:, None], mean_local, 0.0)
+
+    counts = tot.astype(jnp.int32)
+    valid = counts >= min_points
+    means = mean_local + slot_corner
+    normals = smallest_eigvec_sym3(covs)
+    icovs = invert_cov_packed(covs) if with_icov else None
+    return vm._replace(
+        means=means,
+        covs=covs,
+        normals=normals,
+        counts=counts,
+        valid=valid,
+        icovs=icovs,
+    )
+
+
+def _outer6(v: jax.Array) -> jax.Array:
+    """Packed outer product vv^T: (..., 3) -> (..., 6)."""
+    return jnp.stack(
+        [
+            v[..., 0] * v[..., 0],
+            v[..., 1] * v[..., 1],
+            v[..., 2] * v[..., 2],
+            v[..., 0] * v[..., 1],
+            v[..., 0] * v[..., 2],
+            v[..., 1] * v[..., 2],
+        ],
+        axis=-1,
+    )
+
+
 def voxel_filter(points, voxel_size: float) -> np.ndarray:
     """Voxel downsampling: per-voxel centroid, float32 (voxel.py:209-241).
 

@@ -101,3 +101,62 @@ def test_color_by_voxel_structure(cloud):
     for cell, irgb in zip(cells, rec["irgb"]):
         c0.setdefault(cell, irgb)
         assert c0[cell] == irgb
+
+
+def test_update_voxel_map_matches_batch_rebuild(cloud):
+    """Incremental merge (Chan parallel formulas) must equal a from-scratch
+    build over the union — the feature the reference only stubbed
+    (registration.py:36-43)."""
+    from point_cloud_registration_tpu.ops.voxelize import update_voxel_map
+
+    # part A must span the full bounding box (a dense grid cannot grow);
+    # pin the per-axis extreme points into it
+    extremes = np.unique(
+        np.concatenate([np.argmin(cloud, axis=0), np.argmax(cloud, axis=0)])
+    )
+    mask_a = np.zeros(len(cloud), bool)
+    mask_a[: len(cloud) // 2] = True
+    mask_a[extremes] = True
+    part_a = cloud[mask_a]
+    part_b = cloud[~mask_a]
+    vm_inc = voxelize.build_voxel_map(part_a, 1.0, min_points=5, with_icov=True)
+    vm_inc = update_voxel_map(vm_inc, part_b, min_points=5)
+    vm_all = voxelize.build_voxel_map(cloud, 1.0, min_points=5, with_icov=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(vm_inc.counts)), np.asarray(jax.device_get(vm_all.counts))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(vm_inc.valid)), np.asarray(jax.device_get(vm_all.valid))
+    )
+    valid = np.asarray(jax.device_get(vm_all.valid))
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(vm_inc.means))[valid],
+        np.asarray(jax.device_get(vm_all.means))[valid],
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(vm_inc.covs))[valid],
+        np.asarray(jax.device_get(vm_all.covs))[valid],
+        atol=1e-4,
+    )
+    # out-of-bounds points are dropped, not crashed on
+    far = np.array([[1e4, 1e4, 1e4]], np.float32)
+    vm2 = update_voxel_map(vm_inc, far, min_points=5)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(vm2.counts)), np.asarray(jax.device_get(vm_inc.counts))
+    )
+
+
+def test_solver_update_target(cloud):
+    from point_cloud_registration_tpu import VPlaneICP
+
+    vp = VPlaneICP(voxel_size=1.0)
+    vp.set_target(cloud[:1500])
+    n1 = int(np.asarray(vp.voxels.num_voxels))
+    vp.update_target(cloud[1500:])
+    n2 = int(np.asarray(vp.voxels.num_voxels))
+    assert n2 >= n1
+    # and alignment still works on the updated map
+    T = vp.align(cloud[:800] + np.float32(0.05))
+    assert np.all(np.isfinite(T))
