@@ -146,11 +146,14 @@ class VoxelGrid:
         Returns ``{name: (N, ...) field, 'dist': (N,)}``; unmatched points
         (no voxel in the search window) get ``dist = inf``.
         """
+        from point_cloud_registration_tpu.ops.voxelize import query_nearest_voxel
+
         m = self.voxel_map
         q = jnp.asarray(points, dtype=jnp.float32)
         # Window sized for the solvers' default gate (max_dist = 2).
-        offsets = search_offsets(max(2.0, self.voxel_size), self.voxel_size)
-        res = knn_ops.nearest_voxel(m.grid, m.means, m.valid, q, offsets)
+        res = query_nearest_voxel(
+            m, q, voxel_size=self.voxel_size, max_dist=max(2.0, self.voxel_size)
+        )
         slot = jnp.clip(res.idx, 0, m.means.shape[0] - 1)
         out = {"dist": np.asarray(jax.device_get(res.dist))}
         for name in names:
