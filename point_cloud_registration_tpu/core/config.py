@@ -81,6 +81,9 @@ class VPlaneICPConfig:
     tol: float = 1e-3
     min_points: int = 10  # voxel validity threshold (voxel.py:56)
     huber_delta: float | None = None
+    # data-independent query tiers: set for vmapped/batched execution, where
+    # lax.switch would execute every branch per element anyway
+    fixed_tiers: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,3 +96,4 @@ class NDTConfig:
     tol: float = 1e-3
     min_points: int = 10
     huber_delta: float | None = None
+    fixed_tiers: bool = False

@@ -40,7 +40,11 @@ def ndt_solver_stats(vmap_: VoxelMap, source, src_weight, T, cfg: NDTConfig) -> 
     R, _ = makeRt(T)
     src_trans = transform_points(T, source)
     nn = query_nearest_voxel(
-        vmap_, src_trans, voxel_size=cfg.voxel_size, max_dist=cfg.max_dist
+        vmap_,
+        src_trans,
+        voxel_size=cfg.voxel_size,
+        max_dist=cfg.max_dist,
+        fixed_tiers=cfg.fixed_tiers,
     )
     w = src_weight * (nn.dist < cfg.max_dist) * (nn.idx >= 0)
     safe = jnp.clip(nn.idx, 0, vmap_.means.shape[0] - 1)

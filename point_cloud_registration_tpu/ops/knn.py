@@ -116,6 +116,7 @@ def nearest_voxel_blocks(
     query: jax.Array,
     radius_near: int,
     radius_full: int,
+    fixed_tiers: bool = False,
 ) -> NNResult:
     """Nearest-voxel query against a blocked dense centroid table.
 
@@ -212,16 +213,25 @@ def nearest_voxel_blocks(
             better = fd2 < carry[0]
             return jnp.where(better, fd2, carry[0]), jnp.where(better, fkey, carry[1])
 
-        # Tier 1: everything provably exact -> done. Tier 2: few unresolved ->
-        # full radius on a compacted subset. Tier 3 (pathological, >cap
-        # unresolved, e.g. the very first iteration of a badly-initialized
-        # align): full radius on everything.
-        tier = (n_unres > 0).astype(jnp.int32) + (n_unres > cap).astype(jnp.int32)
-        best_d2, best_key = jax.lax.switch(
-            tier,
-            [lambda c: c, compact_pass, full_pass],
-            (best_d2, best_key),
-        )
+        if fixed_tiers:
+            # Batched/vmapped contexts: lax.switch under vmap executes every
+            # branch for every element, so data-dependent tiering costs the
+            # worst case anyway. Run the compacted full-radius pass
+            # unconditionally instead (its capacity bound still applies; the
+            # >cap overflow falls back to near-pass results, which only
+            # affects pathological all-unresolved iterations).
+            best_d2, best_key = compact_pass((best_d2, best_key))
+        else:
+            # Tier 1: everything provably exact -> done. Tier 2: few
+            # unresolved -> full radius on a compacted subset. Tier 3
+            # (pathological, >cap unresolved, e.g. the very first iteration
+            # of a badly-initialized align): full radius on everything.
+            tier = (n_unres > 0).astype(jnp.int32) + (n_unres > cap).astype(jnp.int32)
+            best_d2, best_key = jax.lax.switch(
+                tier,
+                [lambda c: c, compact_pass, full_pass],
+                (best_d2, best_key),
+            )
     return NNResult(dist=jnp.sqrt(best_d2), idx=best_key)
 
 

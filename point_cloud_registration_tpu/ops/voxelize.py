@@ -271,7 +271,8 @@ def _finish_voxel_map(points, grid: Grid, inverse, *, min_points, with_icov):
     )
 
 
-def query_nearest_voxel(vmap_: VoxelMap, query, *, voxel_size: float, max_dist: float) -> NNResult:
+def query_nearest_voxel(vmap_: VoxelMap, query, *, voxel_size: float, max_dist: float,
+                        fixed_tiers: bool = False) -> NNResult:
     """Nearest valid voxel for each query point -> (dist, slot).
 
     Dispatches to the dense inf-padded table fast path when the map has one
@@ -289,6 +290,7 @@ def query_nearest_voxel(vmap_: VoxelMap, query, *, voxel_size: float, max_dist: 
             query,
             radius_near=min(1, radius_full),
             radius_full=radius_full,
+            fixed_tiers=fixed_tiers,
         )
         dense = vmap_.grid.dense
         slot = dense[jnp.clip(res.idx, 0, dense.shape[0] - 1)]

@@ -86,6 +86,12 @@ def align_sharded(kind, target, source, src_weight, init_T, cfg, mesh: Mesh) -> 
 def align_batched_sharded(
     kind, target, sources, src_weights, init_Ts, cfg, mesh: Mesh
 ) -> AlignResult:
+    import dataclasses
+
+    if hasattr(cfg, "fixed_tiers") and not cfg.fixed_tiers:
+        # under vmap, data-dependent tier switching executes every branch per
+        # problem — force the data-independent variant
+        cfg = dataclasses.replace(cfg, fixed_tiers=True)
     """Batched multi-scan registration: problems sharded over ``batch``,
     each problem's points sharded over ``data``.
 
