@@ -110,6 +110,18 @@ class VoxelGrid:
         self._map = m._replace(icovs=invert_cov_packed(m.covs))
         self._compact.pop("icov", None)
 
+    def calc_sqrt_icov(self) -> None:
+        """Attach upper-triangular icov square roots (voxel.py:61-67)."""
+        from point_cloud_registration_tpu.ops.voxelize import sqrt_icov_packed
+
+        m = self.voxel_map
+        if m.icovs is None:
+            self.calc_icov()
+            m = self.voxel_map
+        self.sqrt_icov = np.asarray(
+            jax.device_get(sqrt_icov_packed(m.icovs))
+        )[self._valid_order()]
+
     def _valid_order(self) -> np.ndarray:
         valid = np.asarray(jax.device_get(self.voxel_map.valid))
         return np.where(valid)[0]

@@ -300,6 +300,35 @@ def query_nearest_voxel(vmap_: VoxelMap, query, *, voxel_size: float, max_dist: 
     return nearest_voxel(vmap_.grid, vmap_.means, vmap_.valid, query, offsets_full)
 
 
+def sqrt_icov_packed(icovs: jax.Array) -> jax.Array:
+    """Upper-triangular square roots L^T with icov = L L^T: (..., 6) -> (..., 3, 3).
+
+    Closed-form 3x3 Cholesky (no LAPACK), matching the reference's
+    ``calc_sqrt_icov`` contract (voxel.py:61-67: ``cholesky(icov)`` transposed
+    — declared there but never called; provided for surface completeness and
+    for whitened-residual formulations).
+    """
+    a, b, c = icovs[..., 0], icovs[..., 1], icovs[..., 2]
+    d, e, f = icovs[..., 3], icovs[..., 4], icovs[..., 5]
+    eps = jnp.asarray(1e-20, icovs.dtype)
+    l11 = jnp.sqrt(jnp.maximum(a, eps))
+    l21 = d / l11
+    l31 = e / l11
+    l22 = jnp.sqrt(jnp.maximum(b - l21 * l21, eps))
+    l32 = (f - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(c - l31 * l31 - l32 * l32, eps))
+    zero = jnp.zeros_like(a)
+    # L^T (upper triangular), as the reference stores it
+    return jnp.stack(
+        [
+            jnp.stack([l11, l21, l31], axis=-1),
+            jnp.stack([zero, l22, l32], axis=-1),
+            jnp.stack([zero, zero, l33], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10) -> VoxelMap:
     """Incrementally merge ``new_points`` into an existing dense-direct map.
 

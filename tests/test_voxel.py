@@ -160,3 +160,34 @@ def test_solver_update_target(cloud):
     # and alignment still works on the updated map
     T = vp.align(cloud[:800] + np.float32(0.05))
     assert np.all(np.isfinite(T))
+
+
+def test_sqrt_icov_matches_cholesky(cloud):
+    from point_cloud_registration_tpu.ops.voxelize import sqrt_icov_packed
+    from point_cloud_registration_tpu.ops.eigh3 import unpack_sym3
+
+    vm = voxelize.build_voxel_map(cloud, 1.0, min_points=10, with_icov=True)
+    valid = np.asarray(jax.device_get(vm.valid))
+    icov_full = np.asarray(jax.device_get(unpack_sym3(vm.icovs)))[valid].astype(np.float64)
+    L_T = np.asarray(jax.device_get(sqrt_icov_packed(vm.icovs)))[valid]
+    # reference contract (voxel.py:61-67): cholesky(icov) transposed
+    ref = np.transpose(np.linalg.cholesky(icov_full), (0, 2, 1))
+    scale = np.abs(ref).max(axis=(1, 2), keepdims=True)
+    np.testing.assert_allclose(L_T / scale, ref / scale, atol=2e-3)
+    # and the factorization reproduces icov: (L^T)^T (L^T) = L L^T
+    np.testing.assert_allclose(
+        np.einsum("nji,njk->nik", L_T, L_T) / scale,
+        icov_full / scale,
+        atol=2e-3,
+    )
+
+
+def test_voxelgrid_calc_sqrt_icov(cloud):
+    from point_cloud_registration_tpu import VoxelGrid
+
+    vg = VoxelGrid(1.0)
+    vg.set_points(cloud)
+    vg.calc_sqrt_icov()
+    assert vg.sqrt_icov.shape == (len(vg.mean), 3, 3)
+    # upper triangular
+    assert np.allclose(vg.sqrt_icov[:, 1, 0], 0) and np.allclose(vg.sqrt_icov[:, 2, 0], 0)
