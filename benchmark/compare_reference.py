@@ -106,6 +106,43 @@ def main():
         dT = np.abs(np.asarray(T_ours) - np.asarray(T_ref)).max()
         print(f"{name:12s} {t_ref:12.3f} {t_ours:10.3f} {t_ref / t_ours:7.1f}x {dT:9.5f}")
 
+    # PlaneICP under the reference's own protocol (speed_test_comparison.py:
+    # 25-34): kd-tree + normals precomputed and injected, timing covers
+    # set_target + align only.
+    from point_cloud_registration_tpu.ops.normals import estimate_normals as est_dev
+
+    jax.block_until_ready(est_dev(map_dev, k=15))  # compile warmup
+    t0 = time.perf_counter()
+    normals_dev = est_dev(map_dev, k=15)
+    jax.block_until_ready(normals_dev)
+    t_norm_ours = time.perf_counter() - t0
+
+    import importlib
+
+    kdt_mod = importlib.import_module("point_cloud_registration.kdtree")
+    t0 = time.perf_counter()
+    tree = kdt_mod.KDTree(map_np.astype(np.float32))
+    normals_np = ref.estimate_norm_with_tree(map_np.astype(np.float32), tree, 15)
+    t_norm_ref = time.perf_counter() - t0
+    print(f"(normal estimation: ref {t_norm_ref:.3f}s, ours {t_norm_ours:.3f}s)")
+
+    t0 = time.perf_counter()
+    p_ref = ref.PlaneICP(**params, k=15)
+    p_ref.set_target(map_np.astype(np.float32), tree, normals_np)
+    T_ref = p_ref.align(scan_np)
+    t_ref = time.perf_counter() - t0
+
+    p_ours = pcr.PlaneICP(**params, k=15)
+    p_ours.set_target(map_dev, kdree="precomputed", norm=normals_dev)
+    p_ours.align(scan_dev)  # warm
+    t0 = time.perf_counter()
+    p_ours2 = pcr.PlaneICP(**params, k=15)
+    p_ours2.set_target(map_dev, kdree="precomputed", norm=normals_dev)
+    T_ours = p_ours2.align(scan_dev)
+    t_ours = time.perf_counter() - t0
+    dT = np.abs(np.asarray(T_ours) - np.asarray(T_ref)).max()
+    print(f"{'PlaneICP':12s} {t_ref:12.3f} {t_ours:10.3f} {t_ref / t_ours:7.1f}x {dT:9.5f}")
+
 
 if __name__ == "__main__":
     main()
