@@ -64,10 +64,13 @@ def icp_align(target: ICPTarget, source, src_weight, init_T, cfg: ICPConfig) -> 
 class ICP(Registration):
     """Reference-compatible shim (constructor signature of icp.py:13-15)."""
 
-    def __init__(self, max_iter: int = 30, max_dist: float = 2, tol: float = 1e-3):
+    def __init__(self, max_iter: int = 30, max_dist: float = 2, tol: float = 1e-3,
+                 huber_delta: float | None = None):
         super().__init__(max_iter=max_iter, tol=tol)
         self.max_dist = max_dist
-        self.cfg = ICPConfig(max_iter=max_iter, max_dist=max_dist, tol=tol)
+        self.cfg = ICPConfig(
+            max_iter=max_iter, max_dist=max_dist, tol=tol, huber_delta=huber_delta
+        )
 
     def set_target(self, target) -> None:
         self._target = build_icp_target(target, self.cfg)

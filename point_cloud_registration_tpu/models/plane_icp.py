@@ -92,11 +92,14 @@ def plane_icp_align(
 class PlaneICP(Registration):
     """Reference-compatible shim (constructor of plane_icp.py:14-17)."""
 
-    def __init__(self, max_iter: int = 30, max_dist: float = 2, tol: float = 1e-3, k: int = 15):
+    def __init__(self, max_iter: int = 30, max_dist: float = 2, tol: float = 1e-3, k: int = 15,
+                 huber_delta: float | None = None):
         super().__init__(max_iter=max_iter, tol=tol)
         self.max_dist = max_dist
         self.k = k
-        self.cfg = PlaneICPConfig(max_iter=max_iter, max_dist=max_dist, tol=tol, k=k)
+        self.cfg = PlaneICPConfig(
+            max_iter=max_iter, max_dist=max_dist, tol=tol, k=k, huber_delta=huber_delta
+        )
 
     def set_target(self, target, kdree=None, norm=None) -> None:
         """``kdree`` is accepted for signature parity (plane_icp.py:19) but

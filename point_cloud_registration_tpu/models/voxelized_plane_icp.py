@@ -73,12 +73,17 @@ class VPlaneICP(Registration):
         max_iter: int = 30,
         max_dist: float = 2,
         tol: float = 1e-3,
+        huber_delta: float | None = None,
     ):
         super().__init__(max_iter=max_iter, tol=tol)
         self.voxel_size = voxel_size
         self.max_dist = max_dist
         self.cfg = VPlaneICPConfig(
-            voxel_size=voxel_size, max_iter=max_iter, max_dist=max_dist, tol=tol
+            voxel_size=voxel_size,
+            max_iter=max_iter,
+            max_dist=max_dist,
+            tol=tol,
+            huber_delta=huber_delta,
         )
 
     def set_target(self, target) -> None:

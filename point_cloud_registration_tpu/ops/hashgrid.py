@@ -99,6 +99,8 @@ def _round_up_pow2(n: int) -> int:
 
 def _bbox_cells(points, cell_size: float) -> tuple[np.ndarray, np.ndarray]:
     """Host-side bounding box in cell units (one tiny device->host sync)."""
+    if points.shape[0] == 0:
+        raise ValueError("empty point cloud: at least one point is required")
     lo = np.asarray(jax.device_get(jnp.min(points, axis=0)), dtype=np.float64)
     hi = np.asarray(jax.device_get(jnp.max(points, axis=0)), dtype=np.float64)
     lo_cell = np.floor(lo / cell_size).astype(np.int64)

@@ -102,3 +102,15 @@ def test_native_pcd_reader_matches_numpy(tmp_path):
     np.testing.assert_array_equal(out, pts)
     if native.load() is None:
         pytest.skip("native library unavailable (no compiler)")
+
+
+def test_empty_cloud_clear_error():
+    with pytest.raises(ValueError, match="empty point cloud"):
+        pcr.VPlaneICP(1.0).set_target(np.zeros((0, 3), np.float32))
+
+
+def test_huber_constructor_kwarg():
+    icp = pcr.ICP(huber_delta=0.5)
+    assert icp.cfg.huber_delta == 0.5
+    ndt = pcr.NDT(huber_delta=0.3)
+    assert ndt.cfg.huber_delta == 0.3
