@@ -185,40 +185,37 @@ def nearest_point_packed(pg: PackedPointGrid, query: jax.Array) -> PointNN:
     return PointNN(dist=dist, idx=jnp.where(jnp.isfinite(dist), idx, -1), resolved=resolved)
 
 
-def knn_packed(pg: PackedPointGrid, query: jax.Array, k: int, chunk: int = 16384):
-    """k-NN over the packed blocks: (dist (N, k), idx (N, k)) ascending.
-
-    Exact for neighborhoods within ``cell_fine`` of the query (window
-    coverage); the tail is approximate — the same contract as the reference's
-    amortized build-time normal estimation path. Queries are chunked to bound
-    the (chunk, 8*cap) candidate buffer.
-    """
+def _knn_window_pass(pg: PackedPointGrid, query: jax.Array, k: int, radius: int, chunk: int):
+    """Chunked k-NN over the blocks covering fine-cell ``radius``: the block
+    span per axis is ``(2*radius + 1)/2`` rounded up at worst alignment."""
     cap = pg.cap
     n = query.shape[0]
     n_pad = -(-n // chunk) * chunk
     qpad = jnp.concatenate([query, jnp.zeros((n_pad - n, 3), query.dtype)], axis=0)
     nbx, nby = pg.nb_dims[0], pg.nb_dims[1]
     r_sentinel = jnp.int32(pg.pts_packed.shape[0] - 1)
+    span = (2 * radius + _BLOCK - 1) // _BLOCK + 1
 
     def one_chunk(q):
         m = q.shape[0]
         fine = cell_coords(q, pg.cell_fine) - pg.origin_fine
-        lo_b = jnp.floor_divide(fine - 1, _BLOCK)
+        lo_b = jnp.floor_divide(fine - radius, _BLOCK)
         d2s, idxs = [], []
-        for db in range(8):
-            d3 = jnp.asarray([db & 1, (db >> 1) & 1, db >> 2], jnp.int32)
-            b3 = lo_b + d3
-            ok = jnp.all((b3 >= 0) & (b3 < pg.nb_dims), axis=-1)
-            bkey = b3[:, 0] + nbx * (b3[:, 1] + nby * b3[:, 2])
-            row = pg.block_row[jnp.where(ok, bkey, 0)]
-            row = jnp.where(ok & (row >= 0), row, r_sentinel)
-            cand = pg.pts_packed[row].reshape(m, cap, 3)
-            diff = q[:, None, :] - cand
-            d2s.append(
-                diff[..., 0] ** 2 + diff[..., 1] ** 2 + diff[..., 2] ** 2
-            )
-            idxs.append(pg.idx_packed[row])
-        d2 = jnp.concatenate(d2s, axis=1)  # (m, 8*cap)
+        for dbx in range(span):
+            for dby in range(span):
+                for dbz in range(span):
+                    b3 = lo_b + jnp.asarray([dbx, dby, dbz], jnp.int32)
+                    ok = jnp.all((b3 >= 0) & (b3 < pg.nb_dims), axis=-1)
+                    bkey = b3[:, 0] + nbx * (b3[:, 1] + nby * b3[:, 2])
+                    row = pg.block_row[jnp.where(ok, bkey, 0)]
+                    row = jnp.where(ok & (row >= 0), row, r_sentinel)
+                    cand = pg.pts_packed[row].reshape(m, cap, 3)
+                    diff = q[:, None, :] - cand
+                    d2s.append(
+                        diff[..., 0] ** 2 + diff[..., 1] ** 2 + diff[..., 2] ** 2
+                    )
+                    idxs.append(pg.idx_packed[row])
+        d2 = jnp.concatenate(d2s, axis=1)  # (m, span^3 * cap)
         idx = jnp.concatenate(idxs, axis=1)
         neg_top, arg = jax.lax.top_k(-d2, k)
         top_idx = jnp.take_along_axis(idx, arg, axis=1)
@@ -227,3 +224,35 @@ def knn_packed(pg: PackedPointGrid, query: jax.Array, k: int, chunk: int = 16384
 
     d, i = jax.lax.map(one_chunk, qpad.reshape(-1, chunk, 3))
     return d.reshape(n_pad, k)[:n], i.reshape(n_pad, k)[:n]
+
+
+def knn_packed(pg: PackedPointGrid, query: jax.Array, k: int, chunk: int = 16384,
+               exact_tail: bool = True):
+    """k-NN over the packed blocks: (dist (N, k), idx (N, k)) ascending.
+
+    Two tiers: the 8-block near window is *provably exact* for neighborhoods
+    within ``cell_fine`` of the query; with ``exact_tail`` the queries whose
+    k-th neighbor lands at or beyond that radius are compacted (capacity N/4)
+    and re-searched at double the radius (27-block window), pushing the
+    provable-exactness radius to ``2 * cell_fine`` — beyond which only
+    pathological neighborhoods (several cells wide vs the sampled median
+    radius) remain approximate.
+    """
+    n = query.shape[0]
+    d, i = _knn_window_pass(pg, query, k, radius=1, chunk=chunk)
+    if not exact_tail or n < 64:
+        return d, i
+    cf = jnp.asarray(pg.cell_fine)
+    mask = jnp.logical_not(d[:, k - 1] < cf)  # k-th neighbor not provably exact
+    n_unres = jnp.sum(mask)
+    cap_q = max(n // 4, 64)
+
+    def wide(_):
+        idxs = jnp.nonzero(mask, size=cap_q, fill_value=0)[0]
+        live = jnp.arange(cap_q) < n_unres
+        wd, wi = _knn_window_pass(pg, query[idxs], k, radius=2, chunk=min(chunk, 4096))
+        d_new = d.at[idxs].set(jnp.where(live[:, None], wd, d[idxs]))
+        i_new = i.at[idxs].set(jnp.where(live[:, None], wi, i[idxs]))
+        return d_new, i_new
+
+    return jax.lax.cond(n_unres > 0, wide, lambda _: (d, i), 0)
