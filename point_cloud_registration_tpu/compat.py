@@ -31,19 +31,26 @@ class NeighborIndex:
 
     ``query(points, k=1) -> (dist, idx)`` like pykdtree/scipy
     (kdtree.py:18-68). Candidates come from a 3^3 cell window sized to the
-    sampled k-NN radius: results are exact whenever the true neighbor lies
-    within one cell and the per-cell cap is not exceeded; points with no
-    candidate in the window return ``dist = inf, idx = -1`` (such matches
-    would be gated away by every solver's max_dist anyway).
+    sampled k-NN radius (``radius_k``); the window pass is exact whenever the
+    true neighbor lies within one cell and the per-cell cap is not exceeded.
+    Queries the window cannot prove exact escape to the tiled brute-force
+    oracle, so the returned result matches an exact kd-tree:
+
+    * ``k = 1``: unresolved queries (best candidate farther than one cell, or
+      none found) are re-searched exhaustively;
+    * ``k > radius_k`` (beyond the sampled radius's provable coverage) or
+      small targets (< ``exact_threshold`` points): brute force outright.
     """
 
     def __init__(self, points, cell_size: float | None = None, cell_cap: int = 32,
-                 radius_k: int = 8):
+                 radius_k: int = 8, exact_threshold: int = 20_000):
         self.points = jnp.asarray(points, dtype=jnp.float32)
         if cell_size is None:
             cell_size = max(sample_knn_radius(self.points, radius_k), 1e-3)
         self.cell_size = float(cell_size)
         self.cell_cap = cell_cap
+        self.radius_k = radius_k
+        self.exact_threshold = exact_threshold
         self.grid, _, self.buckets = build_grid(
             self.points, self.cell_size, with_buckets=True
         )
@@ -51,15 +58,40 @@ class NeighborIndex:
 
     def query(self, points, k: int = 1):
         q = jnp.asarray(points, dtype=jnp.float32)
+        small = self.points.shape[0] <= self.exact_threshold
         if k == 1:
+            if small:
+                res = knn_ops.brute_force_nn(q, self.points)
+                return np.asarray(jax.device_get(res.dist)), np.asarray(jax.device_get(res.idx))
             res = knn_ops.nearest_point(
                 self.grid, self.buckets, self.points, q, self._offsets, cap=self.cell_cap
             )
-            return np.asarray(jax.device_get(res.dist)), np.asarray(jax.device_get(res.idx))
+            dist = np.array(jax.device_get(res.dist))
+            idx = np.array(jax.device_get(res.idx))
+            # Exactness escape hatch: a best match farther than one cell is not
+            # provably the true nearest (the window covers radius cell_size).
+            unres = ~(dist < self.cell_size)
+            if unres.any():
+                sub = knn_ops.brute_force_nn(q[np.where(unres)[0]], self.points)
+                dist[unres] = np.asarray(jax.device_get(sub.dist))
+                idx[unres] = np.asarray(jax.device_get(sub.idx))
+            return dist, idx
+        if small or k > self.radius_k:
+            d, i = knn_ops.brute_force_knn(q, self.points, k=k)
+            return np.asarray(jax.device_get(d)), np.asarray(jax.device_get(i))
         d, i = knn_ops.knn_points(
             self.grid, self.buckets, self.points, q, self._offsets, cap=self.cell_cap, k=k
         )
-        return np.asarray(jax.device_get(d)), np.asarray(jax.device_get(i))
+        d = np.array(jax.device_get(d))
+        i = np.array(jax.device_get(i))
+        # k-th neighbor beyond one cell -> window coverage unproven: re-search.
+        unres = ~(d[:, k - 1] < self.cell_size)
+        if unres.any():
+            rows = np.where(unres)[0]
+            sd, si = knn_ops.brute_force_knn(q[rows], self.points, k=k)
+            d[rows] = np.asarray(jax.device_get(sd))
+            i[rows] = np.asarray(jax.device_get(si))
+        return d, i
 
 
 # Name parity with the reference export (kdtree.py / __init__.py:7).
@@ -75,9 +107,16 @@ class VoxelGrid:
     *valid* voxel per point with requested fields plus ``dist``.
     """
 
-    def __init__(self, voxel_size: float, min_points: int = 10):
+    def __init__(self, voxel_size: float, min_points: int = 10,
+                 query_max_dist: float | None = None):
         self.voxel_size = voxel_size
         self.min_points = min_points
+        # Default windowed-search radius for query(); beyond it the exact
+        # brute-force fallback takes over, so results match the reference's
+        # unbounded kd-tree at any distance.
+        self.query_max_dist = (
+            query_max_dist if query_max_dist is not None else max(2.0, voxel_size)
+        )
         self._map: VoxelMap | None = None
         self._compact: dict[str, np.ndarray] = {}
 
@@ -100,8 +139,6 @@ class VoxelGrid:
         from point_cloud_registration_tpu.ops.voxelize import update_voxel_map
 
         self._map = update_voxel_map(self.voxel_map, points, min_points=self.min_points)
-        if self._map.icovs is not None:
-            pass
         self._compact = {}
 
     def calc_icov(self) -> None:
@@ -152,20 +189,33 @@ class VoxelGrid:
     cov = property(lambda self: self._compacted("cov"))
     icov = property(lambda self: self._compacted("icov"))
 
-    def query(self, points, names):
+    def query(self, points, names, max_dist: float | None = None):
         """Nearest-valid-voxel fields for each query point (voxel.py:171-179).
 
-        Returns ``{name: (N, ...) field, 'dist': (N,)}``; unmatched points
-        (no voxel in the search window) get ``dist = inf``.
+        Returns ``{name: (N, ...) field, 'dist': (N,)}``. The fast path is a
+        neighbor-cell window of radius ``max_dist`` (defaults to the ctor's
+        ``query_max_dist``); queries with no valid voxel inside the window
+        fall back to an exact tiled brute-force search over all valid voxel
+        centroids, so — like the reference's kd-tree over means — every query
+        gets its true nearest voxel at any distance.
         """
         from point_cloud_registration_tpu.ops.voxelize import query_nearest_voxel
 
         m = self.voxel_map
         q = jnp.asarray(points, dtype=jnp.float32)
-        # Window sized for the solvers' default gate (max_dist = 2).
+        md = float(max_dist) if max_dist is not None else self.query_max_dist
         res = query_nearest_voxel(
-            m, q, voxel_size=self.voxel_size, max_dist=max(2.0, self.voxel_size)
+            m, q, voxel_size=self.voxel_size, max_dist=max(md, self.voxel_size)
         )
+        dist = np.array(jax.device_get(res.dist))
+        idx = np.array(jax.device_get(res.idx))
+        unres = ~np.isfinite(dist)
+        if unres.any():
+            rows = np.where(unres)[0]
+            sub = knn_ops.brute_force_nn(q[rows], m.means, ref_valid=m.valid)
+            dist[rows] = np.asarray(jax.device_get(sub.dist))
+            idx[rows] = np.asarray(jax.device_get(sub.idx))
+        res = type(res)(dist=jnp.asarray(dist), idx=jnp.asarray(idx))
         slot = jnp.clip(res.idx, 0, m.means.shape[0] - 1)
         out = {"dist": np.asarray(jax.device_get(res.dist))}
         for name in names:

@@ -157,6 +157,12 @@ def build_grid(
 def _build_grid_device(points, origin_cell, cell_size, dims, *, capacity, dense_size, with_buckets):
     coords = cell_coords(points, cell_size)
     keys = coords_to_key(coords, origin_cell, dims)
+    # f32/f64 boundary guard: coords_to_key returns -1 for a point whose
+    # device-side cell falls one past the host-side bbox; without this remap
+    # the -1 becomes a real unique slot whose points are unreachable by
+    # lookup_slots (silently dropped from queries). INVALID_KEY merges them
+    # into the padding slot instead, which every query path already skips.
+    keys = jnp.where(keys < 0, jnp.int32(INVALID_KEY), keys)
     unique_keys, inverse = jnp.unique(
         keys, return_inverse=True, size=capacity, fill_value=INVALID_KEY
     )

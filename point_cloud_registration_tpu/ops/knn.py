@@ -42,6 +42,13 @@ from point_cloud_registration_tpu.ops.hashgrid import (
 
 _BIG = np.float32(np.inf)  # numpy scalar: no backend init at import
 
+# Finite miss sentinel for tables that feed MXU one-hot gathers (a 0 x inf
+# product would poison the row with NaN). 1e30 squared overflows to inf, so
+# sentinel candidates can never win a distance comparison; "found" checks
+# must use `dist < FOUND_MAX` rather than isfinite.
+MISS_COORD = np.float32(1e30)
+FOUND_MAX = np.float32(1e14)
+
 
 class NNResult(NamedTuple):
     dist: jax.Array  # (N,) f32 — Euclidean distance (inf when no candidate)
@@ -120,14 +127,15 @@ def nearest_voxel_blocks(
 ) -> NNResult:
     """Nearest-voxel query against a blocked dense centroid table.
 
-    ``dense_blocks`` is (nbz, nby, nbx, bx*by*bz*3): entry [bz, by, bx] holds
-    the centroids of that block's cells (+inf where empty/invalid/
-    out-of-grid). One fetched block row serves bx*by*bz candidate cells,
-    cutting the gather-row count — the TPU-side bottleneck of this query —
-    vs per-cell probing; the extra cells a block window covers beyond the
-    exact cell window only ever *improve* the candidate set. Large query
-    sets take the tiled MXU one-hot path (:func:`_tiled_near_pass`) for the
-    near window instead of row gathers.
+    ``dense_blocks`` is (nbz, nby, nbx, bx*by*bz*3) in *planar* layout —
+    entry [bz, by, bx] holds that block's cell centroids as
+    ``[x_0..x_{w-1}, y_0.., z_0..]`` (``MISS_COORD`` where empty/invalid/
+    out-of-grid; planar so the Pallas fused-align kernel can slice contiguous
+    component lanes from the same table). One fetched block row serves
+    bx*by*bz candidate cells, cutting the gather-row count — the TPU-side
+    bottleneck of this query — vs per-cell probing; the extra cells a block
+    window covers beyond the exact cell window only ever *improve* the
+    candidate set.
 
     Two-tier exactness: the near pass covers cell radius ``radius_near``; a
     query whose best distance is below ``radius_near * cell_size`` is
@@ -166,32 +174,28 @@ def nearest_voxel_blocks(
                     ok = jnp.all((b3 >= 0) & (b3 < nb_dims), axis=-1)
                     row = b3[:, 0] + nbx * (b3[:, 1] + nby * b3[:, 2])
                     row = jnp.where(ok, row, 0)
-                    cells = flat_blocks[row].reshape(-1, w, 3)  # (M, w, 3)
-                    cells = jnp.where(ok[:, None, None], cells, jnp.inf)
-                    diff = q[:, None, :] - cells
+                    cells = flat_blocks[row].reshape(-1, 3, w)  # (M, 3, w) planar
+                    diff = q[:, :, None] - cells
                     d2 = (
-                        diff[..., 0] * diff[..., 0]
-                        + diff[..., 1] * diff[..., 1]
-                        + diff[..., 2] * diff[..., 2]
+                        diff[:, 0, :] * diff[:, 0, :]
+                        + diff[:, 1, :] * diff[:, 1, :]
+                        + diff[:, 2, :] * diff[:, 2, :]
                     )  # (M, w)
+                    d2 = jnp.where(ok[:, None], d2, _BIG)
                     arg = jnp.argmin(d2, axis=1)
                     d2m = jnp.take_along_axis(d2, arg[:, None], axis=1)[:, 0]
                     cx = b3[:, 0] * bx + lx[arg]
                     cy = b3[:, 1] * by + ly[arg]
                     cz = b3[:, 2] * bz + lz[arg]
-                    # true-grid linear key (cells beyond the true dims are inf
-                    # in the table and can never win)
+                    # true-grid linear key (cells beyond the true dims carry
+                    # MISS_COORD in the table and can never win)
                     key = cx + gnx * (cy + gny * cz)
                     better = d2m < best_d2
                     best_d2 = jnp.where(better, d2m, best_d2)
                     best_key = jnp.where(better, key, best_key)
         return best_d2, best_key
 
-    spans_near = [_block_span(radius_near, b) for b in DENSE_BLOCK]
-    if USE_TILED_NEAR and query.shape[0] >= 4096 and all(sp == 2 for sp in spans_near):
-        best_d2, best_key = _tiled_near_pass(grid, dense_blocks, query, rel, radius_near)
-    else:
-        best_d2, best_key = block_pass(query, rel, radius_near)
+    best_d2, best_key = block_pass(query, rel, radius_near)
 
     if radius_full > radius_near:
         exact_r = radius_near * grid.cell_size
@@ -235,160 +239,81 @@ def nearest_voxel_blocks(
     return NNResult(dist=jnp.sqrt(best_d2), idx=best_key)
 
 
-_TILE_Q = 512  # queries per tile in the tiled (MXU one-hot) near pass
-_REGION = 8  # region edge in blocks (per axis, clamped to the block grid)
-# Opt-in: measured SLOWER end-to-end on v5e than the fat-row gather pass
-# (0.57s vs 0.26s align at 131k queries) — the per-iteration Morton sort,
-# permutation gathers and ~250 sequential tile dispatches outweigh the MXU
-# gather savings. Kept (tested) as the starting point for a fused Pallas
-# region pass, which eliminates exactly those overheads.
-USE_TILED_NEAR = False
-
-
-def _morton10(c: jax.Array) -> jax.Array:
-    """Interleave 10 bits per axis of (N, 3) non-negative coords -> (N,) i32."""
-
-    def spread(x):
-        x = x & 0x3FF
-        x = (x | (x << 16)) & 0x030000FF
-        x = (x | (x << 8)) & 0x0300F00F
-        x = (x | (x << 4)) & 0x030C30C3
-        x = (x | (x << 2)) & 0x09249249
-        return x
-
-    return spread(c[:, 0]) | (spread(c[:, 1]) << 1) | (spread(c[:, 2]) << 2)
-
-
-def _tiled_near_pass(grid: Grid, blocks3d: jax.Array, query: jax.Array, rel: jax.Array,
-                     radius: int):
-    """Near-window nearest-voxel via region slices + MXU one-hot gathers.
-
-    XLA's gather is row-bound (~60 ns/row), which makes the 8-probe near pass
-    the align-loop bottleneck. This path exploits spatial coherence instead:
-    queries are Morton-sorted so each 512-query tile touches a small box of
-    blocks; the box is fetched with ONE dynamic_slice (static ``_REGION``^3
-    blocks) and per-query rows are extracted with a one-hot (TQ, R^3) @
-    (R^3, W) matmul — an exact-f32 gather running on the MXU at effectively
-    zero cost. Tile-stragglers whose window exceeds the clamped region simply
-    come back unresolved and reuse the existing compact fallback tier, so
-    correctness never depends on the clamp.
-
-    Returns (best_d2, best_key) in original query order.
-    """
-    bx, by, bz = DENSE_BLOCK
-    w = bx * by * bz
-    nbz, nby, nbx = blocks3d.shape[0], blocks3d.shape[1], blocks3d.shape[2]
-    gnx, gny = grid.dims[0], grid.dims[1]
-    cell_sentinel = jnp.int32(np.iinfo(np.int32).max)
-    n = query.shape[0]
-    block = jnp.asarray(DENSE_BLOCK, jnp.int32)
-
-    rz = min(_REGION, int(blocks3d.shape[0]))
-    ry = min(_REGION, int(blocks3d.shape[1]))
-    rx = min(_REGION, int(blocks3d.shape[2]))
-    ncell_region = rz * ry * rx
-
-    lo_b = jnp.floor_divide(rel - radius, block)  # (N, 3) window origin block
-    order = jnp.argsort(_morton10(jnp.clip(lo_b, 0, None)), stable=True).astype(jnp.int32)
-    n_pad = -(-n // _TILE_Q) * _TILE_Q
-    pad_ids = jnp.concatenate(
-        [order, jnp.zeros((n_pad - n,), jnp.int32)]
-    )
-    q_s = query[pad_ids].reshape(-1, _TILE_Q, 3)
-    lo_s = lo_b[pad_ids].reshape(-1, _TILE_Q, 3)
-    rel_s = rel[pad_ids].reshape(-1, _TILE_Q, 3)
-
-    lx = jnp.arange(w, dtype=jnp.int32) % bx
-    ly = (jnp.arange(w, dtype=jnp.int32) // bx) % by
-    lz = jnp.arange(w, dtype=jnp.int32) // (bx * by)
-    iota = jnp.arange(ncell_region, dtype=jnp.int32)
-
-    def one_tile(args):
-        q, lo, _rel = args  # (TQ, 3) each
-        ori = jnp.min(lo, axis=0)
-        ori = jnp.clip(
-            ori,
-            0,
-            jnp.asarray([nbx - rx, nby - ry, nbz - rz], jnp.int32),
-        )  # (3,) x, y, z order
-        region = jax.lax.dynamic_slice(
-            blocks3d, (ori[2], ori[1], ori[0], 0), (rz, ry, rx, blocks3d.shape[3])
-        ).reshape(ncell_region, w * 3)
-        rel_b = lo - ori  # (TQ, 3)
-        # the 2x2x2 window must fit inside the region
-        in_box = jnp.all((rel_b >= 0) & (rel_b + 1 <= jnp.asarray([rx - 1, ry - 1, rz - 1])), axis=-1)
-
-        best_d2 = q[:, 0] * 0 + _BIG
-        best_key = jnp.zeros_like(lo[:, 0]) + cell_sentinel
-        for db in range(8):
-            d3 = jnp.asarray([db & 1, (db >> 1) & 1, db >> 2], jnp.int32)
-            b3 = lo + d3  # global block coords
-            ok = (
-                in_box
-                & jnp.all((b3 >= 0) & (b3 < jnp.asarray([nbx, nby, nbz])), axis=-1)
-            )
-            rb = rel_b + d3
-            ridx = rb[:, 0] + rx * (rb[:, 1] + ry * rb[:, 2])
-            ridx = jnp.where(ok, ridx, 0)
-            onehot = ((ridx[:, None] == iota[None, :]) & ok[:, None]).astype(jnp.float32)
-            rows = jnp.dot(
-                onehot, region, precision=jax.lax.Precision.HIGHEST
-            )  # (TQ, w*3) exact-f32 MXU gather
-            cells = rows.reshape(_TILE_Q, w, 3)
-            cells = jnp.where(ok[:, None, None], cells, jnp.inf)
-            diff = q[:, None, :] - cells
-            d2 = diff[..., 0] ** 2 + diff[..., 1] ** 2 + diff[..., 2] ** 2
-            arg = jnp.argmin(d2, axis=1)
-            d2m = jnp.take_along_axis(d2, arg[:, None], axis=1)[:, 0]
-            cx = b3[:, 0] * bx + lx[arg]
-            cy = b3[:, 1] * by + ly[arg]
-            cz = b3[:, 2] * bz + lz[arg]
-            key = cx + gnx * (cy + gny * cz)
-            better = d2m < best_d2
-            best_d2 = jnp.where(better, d2m, best_d2)
-            best_key = jnp.where(better, key, best_key)
-        return best_d2, best_key
-
-    d2_t, key_t = jax.lax.map(one_tile, (q_s, lo_s, rel_s))
-    d2_flat = d2_t.reshape(n_pad)
-    key_flat = key_t.reshape(n_pad)
-    # Unsort: sorted position i belongs to original index pad_ids[i]. The
-    # padded tail reuses pad_ids = 0, i.e. it recomputes query 0's result
-    # identically, so duplicate scatter writes are consistent.
-    best_d2 = (query[:, 0] * 0 + _BIG).at[pad_ids].set(d2_flat)
-    best_key = (jnp.zeros_like(rel[:, 0]) + cell_sentinel).at[pad_ids].set(key_flat)
-    return best_d2, best_key
-
-
 def build_dense_blocks(
     grid: Grid, means: jax.Array, valid: jax.Array, nb_dims_static: tuple[int, int, int]
 ) -> jax.Array:
-    """(NB + 1, bx*by*bz*3) inf-padded blocked centroid table for
-    :func:`nearest_voxel_blocks`. ``nb_dims_static`` are host ints (block
-    grid dims) because they size the array.
+    """(nbz, nby, nbx, bx*by*bz*3) planar blocked centroid table for
+    :func:`nearest_voxel_blocks` and the Pallas fused-align kernel.
+
+    Planar row layout ``[x_0..x_{w-1}, y_0.., z_0..]`` (structure-of-arrays)
+    so component lanes are contiguous slices of a fetched row. Empty /
+    invalid / out-of-grid cells hold ``MISS_COORD`` (finite: the fused
+    kernel's one-hot MXU gather would turn 0 x inf into NaN).
+    ``nb_dims_static`` are host ints (block grid dims) because they size the
+    array.
     """
     bx, by, bz = DENSE_BLOCK
     w = bx * by * bz
     nbx, nby, nbz = nb_dims_static
     nb = nbx * nby * nbz
-    c = means.shape[0]
     # cell coords of every slot from its linear key
     keys = grid.keys
     nx, ny = grid.dims[0], grid.dims[1]
-    ok = (keys != INVALID_KEY) & valid
+    # Bound-check the key itself: packed/proxy grids can carry sentinel keys
+    # (out-of-bbox rows, -1 padding) that are not INVALID_KEY; deriving cell
+    # coords from them would alias into a wrong block slot.
+    total = grid.dims[0] * grid.dims[1] * grid.dims[2]
+    ok = (keys != INVALID_KEY) & (keys >= 0) & (keys < total) & valid
     safe_keys = jnp.where(ok, keys, 0)
     cx = safe_keys % nx
     cy = (safe_keys // nx) % ny
     cz = safe_keys // (nx * ny)
     brow = (cx // bx) + nbx * ((cy // by) + nby * (cz // bz))
     col = (cx % bx) + bx * ((cy % by) + by * (cz % bz))
-    flat_base = brow * (w * 3) + col * 3
-    table = jnp.full((nb * w * 3,), jnp.inf, jnp.float32)
+    flat_base = brow * (w * 3) + col
+    table = jnp.full((nb * w * 3,), MISS_COORD, jnp.float32)
     oob = jnp.int32(nb * w * 3)  # dropped by the scatter
     for comp in range(3):
-        idx = jnp.where(ok, flat_base + comp, oob)
+        idx = jnp.where(ok, flat_base + comp * w, oob)
         table = table.at[idx].set(means[:, comp], mode="drop")
     return table.reshape(nbz, nby, nbx, w * 3)
+
+
+def build_rich_blocks(
+    grid: Grid,
+    feats: jax.Array,
+    valid: jax.Array,
+    nb_dims_static: tuple[int, int, int],
+) -> jax.Array:
+    """(nbz, nby, nbx, F * bx*by*bz) planar per-cell feature table.
+
+    Companion of :func:`build_dense_blocks` for the fused kernel's rich
+    fetch: per-cell features (plane normals, sqrt inverse covariances) laid
+    out planar per block row. Invalid cells hold 0 — they can never win the
+    centroid argmin, so their features are never selected.
+    """
+    bx, by, bz = DENSE_BLOCK
+    w = bx * by * bz
+    nbx, nby, nbz = nb_dims_static
+    nb = nbx * nby * nbz
+    f_dim = feats.shape[1]
+    keys = grid.keys
+    nx, ny = grid.dims[0], grid.dims[1]
+    total = grid.dims[0] * grid.dims[1] * grid.dims[2]
+    ok = (keys != INVALID_KEY) & (keys >= 0) & (keys < total) & valid
+    safe_keys = jnp.where(ok, keys, 0)
+    cx = safe_keys % nx
+    cy = (safe_keys // nx) % ny
+    cz = safe_keys // (nx * ny)
+    brow = (cx // bx) + nbx * ((cy // by) + nby * (cz // bz))
+    col = (cx % bx) + bx * ((cy % by) + by * (cz % bz))
+    flat_base = brow * (w * f_dim) + col
+    table = jnp.zeros((nb * w * f_dim,), jnp.float32)
+    oob = jnp.int32(nb * w * f_dim)
+    for comp in range(f_dim):
+        idx = jnp.where(ok, flat_base + comp * w, oob)
+        table = table.at[idx].set(feats[:, comp], mode="drop")
+    return table.reshape(nbz, nby, nbx, w * f_dim)
 
 
 def nearest_point(

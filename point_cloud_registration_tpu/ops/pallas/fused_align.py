@@ -1,0 +1,551 @@
+"""Fused correspondence + linearization + reduction Pallas kernel (K1 + K2).
+
+The align-loop hot path of every solver is: transform the scan, find each
+point's nearest map element, form the residual/Jacobian, and reduce to the
+6x6 Gauss-Newton normal equations (reference call chains
+/root/reference/point_cloud_registration/voxelized_plane_icp.py:23-64,
+icp.py:24-57, plane_icp.py:30-69, ndt.py:24-57). In XLA form the search is
+gather-row-bound (~60 ns per fetched row); this kernel removes the gathers
+entirely:
+
+* the scan is Morton-sorted ONCE per align (rigid motion preserves spatial
+  locality, so the sort stays valid for every iteration);
+* each tile of ``tq`` consecutive queries shares one compact spatial
+  *region* of the planar block table, fetched HBM->VMEM with a single
+  strided DMA;
+* per-query candidate rows are pulled from the region with one-hot MXU
+  matmuls — an exact-f32 gather at matmul throughput (the planar row layout
+  ``[x_0..x_{w-1}, y_0.., z_0..]`` makes component extraction a contiguous
+  lane slice);
+* the residual family (point / plane / Mahalanobis-whitened) is linearized
+  in-register and collapsed to an 8x8 normal-equation block
+  ``C = sum_i w_i [J_i, r_i, 1]^T [J_i, r_i, 1]`` per tile: ``H = C[:6,:6]``,
+  ``g = C[:6,6]``, ``e2 = C[6,6]``, ``n_inliers = C[7,7]``.
+
+Per iteration the kernel's HBM traffic is the query tiles plus one region
+read per tile and a 128-float stats row out — no per-point gather, no
+intermediate (N, k) candidate tensors.
+
+Exactness: the probe window statically covers every cell within
+``radius`` cells of the query, so for the voxel kinds (radius covers
+``max_dist``) a found match is the true gated nearest voxel. Queries whose
+window exceeds the tile's clamped region (Morton-seam stragglers) and — for
+the point kinds — queries whose best match is beyond the provable radius
+are flagged ``unresolved`` and excluded from the stats; the caller re-solves
+them on a compacted XLA path and adds their contribution.
+
+Mahalanobis (NDT) unification: with ``U`` the upper-triangular square root
+``U^T U = icov`` (ops/voxelize.sqrt_icov_packed), the whitened residual
+``r~ = U (T p - mu)`` and Jacobian ``J~ = U [I | -R skew(p)]`` reproduce the
+reference's H/g/e2 exactly (ndt.py:40-56), so all four solvers reduce to
+plain weighted least squares inside one kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from point_cloud_registration_tpu.ops.knn import FOUND_MAX
+
+_MISS_D2 = np.float32(1e30)  # finite: feeds min/compare, never matmuls
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedSpec:
+    """Static geometry + solver parameters of one fused-align program.
+
+    Built host-side at ``set_target`` time (the table dims are host ints
+    there); hashable, so it rides as a jit static argument.
+    """
+
+    kind: str  # "plane" | "ndt" | "point" | "plane_pt"
+    cell: float  # cell size (voxel_size, or cell_fine for point kinds)
+    origin_cell: tuple[int, int, int]  # (x, y, z) min cell coordinate
+    block: tuple[int, int, int]  # cells per block (bx, by, bz)
+    nb_dims: tuple[int, int, int]  # block-grid dims (nbx, nby, nbz)
+    ncand: int  # candidate slots per block row
+    radius: int  # window radius in cells (covers max_dist for voxel kinds)
+    region: tuple[int, int, int]  # region dims in blocks (RX, RY, RZ)
+    tq: int  # queries per tile
+    max_dist: float
+    huber_delta: float | None = None
+
+    @property
+    def feat_dim(self) -> int:
+        return {"plane": 3, "plane_pt": 3, "ndt": 6, "point": 0}[self.kind]
+
+    @property
+    def m_rows(self) -> int:
+        return 1 if self.kind in ("plane", "plane_pt") else 3
+
+    @property
+    def spans(self) -> tuple[int, int, int]:
+        return tuple(
+            (2 * self.radius + b - 1) // b + 1 for b in self.block
+        )
+
+    @property
+    def probes(self) -> tuple[tuple[int, int, int], ...]:
+        sx, sy, sz = self.spans
+        return tuple(
+            (dx, dy, dz) for dz in range(sz) for dy in range(sy) for dx in range(sx)
+        )
+
+    @property
+    def exact_radius(self) -> float:
+        """Distance below which a found match is provably the true nearest.
+
+        Voxel kinds probe the full ``max_dist``-covering window, so any
+        gated match is exact; point kinds probe a 1-cell window and matches
+        beyond ``cell`` escape to the caller's fallback."""
+        if self.kind in ("plane", "ndt"):
+            return float("inf")
+        return self.cell
+
+    def __post_init__(self):
+        for s, r in zip(self.spans, self.region):
+            if s > r:
+                raise ValueError(
+                    f"window span {self.spans} exceeds region {self.region}"
+                )
+        for r, nb in zip(self.region, self.nb_dims):
+            if r > nb:
+                raise ValueError(f"region {self.region} exceeds block grid {self.nb_dims}")
+
+
+def default_region(nb_dims: tuple[int, int, int], spans: tuple[int, int, int],
+                   target: tuple[int, int, int]) -> tuple[int, int, int]:
+    """Clamp the preferred region dims to the block grid (and at least the
+    window span, so every window can fit)."""
+    return tuple(
+        max(min(t, nb), min(s, nb)) for t, s, nb in zip(target, spans, nb_dims)
+    )
+
+
+def morton_code(c: jax.Array) -> jax.Array:
+    """Interleave 10 bits/axis of (N, 3) non-negative int coords -> (N,) i32."""
+
+    def spread(x):
+        x = x & 0x3FF
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return spread(c[:, 0]) | (spread(c[:, 1]) << 1) | (spread(c[:, 2]) << 2)
+
+
+def morton_order(spec: FusedSpec, q0: jax.Array) -> jax.Array:
+    """Query permutation that makes consecutive queries spatially local.
+
+    Computed once per align from the *initial* transformed positions: a
+    rigid motion bounded by the convergence basin moves a point by far less
+    than a region, so tile locality survives every subsequent iteration.
+    """
+    cell = jnp.floor(q0 / spec.cell).astype(jnp.int32)
+    b = (cell - jnp.asarray(spec.origin_cell, jnp.int32)) // jnp.asarray(
+        spec.block, jnp.int32
+    )
+    return jnp.argsort(morton_code(jnp.clip(b, 0, 1023)), stable=True).astype(jnp.int32)
+
+
+def _make_kernel(spec: FusedSpec):
+    TQ = spec.tq
+    RX, RY, RZ = spec.region
+    NR = RX * RY * RZ
+    NC = spec.ncand
+    WA = 3 * NC
+    F = spec.feat_dim
+    WB = F * NC
+    bx, by, bz = spec.block
+    nbx, nby, nbz = spec.nb_dims
+    ox0, oy0, oz0 = spec.origin_cell
+    inv_found = np.float32(FOUND_MAX) ** 2
+
+    def linearize_and_reduce(q, p, wq, tx, ty, tz, feats, rf):
+        """(8, 8) C block from per-query correspondences. ``rf`` = R flat."""
+        ones = jnp.ones_like(wq)
+        dx = q[:, 0] - tx
+        dy = q[:, 1] - ty
+        dz = q[:, 2] - tz
+        px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+        r00, r01, r02, r10, r11, r12, r20, r21, r22 = rf
+
+        if spec.kind in ("plane", "plane_pt"):
+            nx, ny, nz = feats
+            rs = nx * dx + ny * dy + nz * dz
+            if spec.huber_delta is not None:
+                from point_cloud_registration_tpu.core.se3 import huber_weight
+
+                wq = wq * huber_weight(jnp.abs(rs), spec.huber_delta)
+            # R^T n
+            tnx = r00 * nx + r10 * ny + r20 * nz
+            tny = r01 * nx + r11 * ny + r21 * nz
+            tnz = r02 * nx + r12 * ny + r22 * nz
+            # skew(p) @ (R^T n) = p x (R^T n)  (plane_icp.py:51-54)
+            jrx = py * tnz - pz * tny
+            jry = pz * tnx - px * tnz
+            jrz = px * tny - py * tnx
+            a = jnp.stack([nx, ny, nz, jrx, jry, jrz, rs, ones], axis=0)  # (8, TQ)
+            aw = a * wq[None, :]
+            return jax.lax.dot_general(
+                aw, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+        # m = 3 kinds: J = [I | K], K = -R skew(p)  (icp.py:42-51, ndt.py:40)
+        k00 = r02 * py - r01 * pz
+        k01 = r00 * pz - r02 * px
+        k02 = r01 * px - r00 * py
+        k10 = r12 * py - r11 * pz
+        k11 = r10 * pz - r12 * px
+        k12 = r11 * px - r10 * py
+        k20 = r22 * py - r21 * pz
+        k21 = r20 * pz - r22 * px
+        k22 = r21 * px - r20 * py
+        zeros = jnp.zeros_like(wq)
+        if spec.kind == "ndt":
+            u00, u01, u02, u11, u12, u22 = feats  # U^T U = icov (upper tri)
+            urows = ((u00, u01, u02), (zeros, u11, u12), (zeros, zeros, u22))
+        else:  # point
+            u00 = u11 = u22 = ones
+            urows = ((ones, zeros, zeros), (zeros, ones, zeros), (zeros, zeros, ones))
+        krows = ((k00, k01, k02), (k10, k11, k12), (k20, k21, k22))
+        d3 = (dx, dy, dz)
+        if spec.huber_delta is not None:
+            from point_cloud_registration_tpu.core.se3 import huber_weight
+
+            # residual magnitude in the whitened metric (= |r| for point,
+            # Mahalanobis distance for ndt)
+            rn2 = zeros
+            for ur in urows:
+                rr = ur[0] * dx + ur[1] * dy + ur[2] * dz
+                rn2 = rn2 + rr * rr
+            wq = wq * huber_weight(jnp.sqrt(jnp.maximum(rn2, 0.0)), spec.huber_delta)
+        c = jnp.zeros((8, 8), jnp.float32)
+        for row in range(3):
+            ur = urows[row]
+            left = ur  # U[row, :] — the translation Jacobian block
+            right = tuple(
+                ur[0] * krows[0][j] + ur[1] * krows[1][j] + ur[2] * krows[2][j]
+                for j in range(3)
+            )
+            rres = ur[0] * d3[0] + ur[1] * d3[1] + ur[2] * d3[2]
+            # count each query's weight once (row 0 only) in C[7, 7]
+            last = ones if row == 0 else zeros
+            a = jnp.stack(list(left) + list(right) + [rres, last], axis=0)
+            aw = a * wq[None, :]
+            c = c + jax.lax.dot_general(
+                aw, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        return c
+
+    def kernel(orig_ref, rflat_ref, q_ref, p_ref, w_ref, tabA, tabB,
+               stats_ref, unres_ref, regA, regB, semA, semB):
+        i = pl.program_id(0)
+        ox = orig_ref[i, 0]
+        oy = orig_ref[i, 1]
+        oz = orig_ref[i, 2]
+        cpA = pltpu.make_async_copy(
+            tabA.at[pl.ds(oz, RZ), pl.ds(oy, RY), pl.ds(ox, RX), :], regA, semA
+        )
+        cpA.start()
+        if F:
+            cpB = pltpu.make_async_copy(
+                tabB.at[pl.ds(oz, RZ), pl.ds(oy, RY), pl.ds(ox, RX), :], regB, semB
+            )
+            cpB.start()
+
+        q = q_ref[...]  # (TQ, 3)
+        p = p_ref[...]
+        w_in = w_ref[...][:, 0]  # (TQ,)
+        # Per-component scalar arithmetic throughout: Pallas kernels may not
+        # capture array constants, and the per-axis grid parameters are
+        # Python ints that fold straight into the IR.
+        inv_cell = np.float32(1.0 / spec.cell)
+        cellx = jnp.floor(q[:, 0] * inv_cell).astype(jnp.int32)
+        celly = jnp.floor(q[:, 1] * inv_cell).astype(jnp.int32)
+        cellz = jnp.floor(q[:, 2] * inv_cell).astype(jnp.int32)
+        lox = jnp.floor_divide(cellx - (ox0 + spec.radius), bx)
+        loy = jnp.floor_divide(celly - (oy0 + spec.radius), by)
+        loz = jnp.floor_divide(cellz - (oz0 + spec.radius), bz)
+
+        best_d2 = jnp.full((TQ,), _MISS_D2, jnp.float32)
+        best_tx = jnp.zeros((TQ,), jnp.float32)
+        best_ty = jnp.zeros((TQ,), jnp.float32)
+        best_tz = jnp.zeros((TQ,), jnp.float32)
+        best_ridx = jnp.zeros((TQ,), jnp.int32)
+        best_slot = jnp.zeros((TQ,), jnp.int32)
+        miss = jnp.zeros((TQ,), jnp.bool_)
+
+        iota_nr = jax.lax.broadcasted_iota(jnp.int32, (TQ, NR), 1)
+        iota_nc = jax.lax.broadcasted_iota(jnp.int32, (TQ, NC), 1)
+
+        cpA.wait()
+        regA_flat = regA[...].reshape(NR, WA)
+        for dx_, dy_, dz_ in spec.probes:
+            gx = lox + dx_
+            gy = loy + dy_
+            gz = loz + dz_
+            glob_ok = (
+                (gx >= 0) & (gx < nbx) & (gy >= 0) & (gy < nby) & (gz >= 0) & (gz < nbz)
+            )
+            rx_ = gx - ox
+            ry_ = gy - oy
+            rz_ = gz - oz
+            reg_ok = (
+                (rx_ >= 0) & (rx_ < RX) & (ry_ >= 0) & (ry_ < RY) & (rz_ >= 0) & (rz_ < RZ)
+            )
+            ok = glob_ok & reg_ok
+            miss = miss | (glob_ok & jnp.logical_not(reg_ok))
+            ridx = jnp.where(ok, (rz_ * RY + ry_) * RX + rx_, 0)
+            oh = jnp.where(
+                (ridx[:, None] == iota_nr) & ok[:, None], np.float32(1.0), np.float32(0.0)
+            )
+            rows = jnp.dot(oh, regA_flat, preferred_element_type=jnp.float32)
+            cx = rows[:, 0:NC]
+            cy = rows[:, NC : 2 * NC]
+            cz = rows[:, 2 * NC : 3 * NC]
+            ddx = q[:, 0:1] - cx
+            ddy = q[:, 1:2] - cy
+            ddz = q[:, 2:3] - cz
+            d2 = ddx * ddx + ddy * ddy + ddz * ddz  # (TQ, NC)
+            d2 = jnp.where(ok[:, None], d2, _MISS_D2)
+            dmin = jnp.min(d2, axis=1)
+            slot = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            sel = slot[:, None] == iota_nc
+            sx = jnp.sum(jnp.where(sel, cx, 0.0), axis=1)
+            sy = jnp.sum(jnp.where(sel, cy, 0.0), axis=1)
+            sz_ = jnp.sum(jnp.where(sel, cz, 0.0), axis=1)
+            better = dmin < best_d2
+            best_d2 = jnp.where(better, dmin, best_d2)
+            best_tx = jnp.where(better, sx, best_tx)
+            best_ty = jnp.where(better, sy, best_ty)
+            best_tz = jnp.where(better, sz_, best_tz)
+            best_ridx = jnp.where(better, ridx, best_ridx)
+            best_slot = jnp.where(better, slot, best_slot)
+
+        found = best_d2 < inv_found
+        dist = jnp.sqrt(best_d2)
+        resolved = dist < np.float32(min(spec.exact_radius, 3e38))
+        wq = w_in * found.astype(jnp.float32) * (dist < np.float32(spec.max_dist))
+        if spec.kind in ("point", "plane_pt"):
+            wq = wq * resolved.astype(jnp.float32)
+            unresolved = miss | jnp.logical_not(resolved)
+        else:
+            wq = wq * jnp.logical_not(miss).astype(jnp.float32)
+            unresolved = miss
+
+        feats = ()
+        if F:
+            cpB.wait()
+            regB_flat = regB[...].reshape(NR, WB)
+            ohb = jnp.where(
+                (best_ridx[:, None] == iota_nr) & found[:, None],
+                np.float32(1.0),
+                np.float32(0.0),
+            )
+            rrows = jnp.dot(ohb, regB_flat, preferred_element_type=jnp.float32)
+            selb = best_slot[:, None] == iota_nc
+            feats = tuple(
+                jnp.sum(jnp.where(selb, rrows[:, f * NC : (f + 1) * NC], 0.0), axis=1)
+                for f in range(F)
+            )
+
+        rf = tuple(rflat_ref[k] for k in range(9))
+        C = linearize_and_reduce(q, p, wq, best_tx, best_ty, best_tz, feats, rf)
+        stats_ref[0, :] = jnp.concatenate(
+            [C.reshape(64), jnp.zeros((64,), jnp.float32)]
+        )
+        unres_ref[0, :] = unresolved.astype(jnp.int32)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("spec", "interpret"))
+def fused_stats_call(spec: FusedSpec, tabA, tabB, q, p, w, rflat, *, interpret=False):
+    """Run the fused kernel over Morton-ordered queries.
+
+    ``q``/``p``/``w`` must already be in Morton order (see
+    :func:`morton_order`); ``rflat`` is the 3x3 rotation row-major flattened.
+    Returns ``(C (8, 8) f32, unresolved (N,) bool)`` where C packs the
+    normal equations (see module docstring).
+    """
+    n = q.shape[0]
+    TQ = spec.tq
+    n_tiles = -(-n // TQ)
+    n_pad = n_tiles * TQ
+    if n_pad != n:
+        q = jnp.concatenate([q, jnp.broadcast_to(q[-1:], (n_pad - n, 3))])
+        p = jnp.concatenate([p, jnp.broadcast_to(p[-1:], (n_pad - n, 3))])
+        w = jnp.concatenate([w, jnp.zeros((n_pad - n,), w.dtype)])
+
+    bx, by, bz = spec.block
+    nbx, nby, nbz = spec.nb_dims
+    RX, RY, RZ = spec.region
+    cell = jnp.floor(q * np.float32(1.0 / spec.cell)).astype(jnp.int32)
+    relc = cell - jnp.asarray(spec.origin_cell, jnp.int32)
+    lo_b = jnp.floor_divide(relc - spec.radius, jnp.asarray([bx, by, bz], jnp.int32))
+    per_tile = lo_b.reshape(n_tiles, TQ, 3)
+    origins = jnp.clip(
+        jnp.min(per_tile, axis=1),
+        0,
+        jnp.asarray([nbx - RX, nby - RY, nbz - RZ], jnp.int32),
+    )  # (n_tiles, 3) x, y, z
+
+    F = spec.feat_dim
+    WB = max(F * spec.ncand, 1)
+    if tabB is None:
+        tabB = jnp.zeros((1, 1, 1, WB), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TQ, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TQ, 3), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TQ, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 128), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, TQ), lambda i, *_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RZ, RY, RX, 3 * spec.ncand), jnp.float32),
+            pltpu.VMEM((RZ, RY, RX, WB), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    stats, unres = pl.pallas_call(
+        _make_kernel(spec),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, TQ), jnp.int32),
+        ],
+        interpret=interpret,
+    )(origins, rflat, q, p, w[:, None], tabA, tabB)
+    C = jnp.sum(stats, axis=0)[:64].reshape(8, 8)
+    return C, unres.reshape(n_pad)[:n] > 0
+
+
+def voxel_fused_spec(vm, kind: str, max_dist: float, huber_delta: float | None = None,
+                     tq: int = 512,
+                     region_target: tuple[int, int, int] = (8, 8, 8)) -> FusedSpec | None:
+    """Build the static kernel spec for a dense-direct :class:`VoxelMap`.
+
+    Host-side (a few tiny device_get syncs — called once at ``set_target``).
+    Returns None when the map has no dense planar table (sparse path) or no
+    rich feature table for the requested kind.
+    """
+    from point_cloud_registration_tpu.ops.knn import DENSE_BLOCK
+
+    if vm.dense_blocks is None:
+        return None
+    if kind in ("plane", "ndt") and vm.rich_blocks is None:
+        return None
+    nb = tuple(int(x) for x in np.asarray(jax.device_get(vm.nb_dims)))
+    origin = tuple(int(x) for x in np.asarray(jax.device_get(vm.grid.origin_cell)))
+    cell = float(jax.device_get(vm.grid.cell_size))
+    radius = int(np.ceil(max_dist / cell - 1e-9))
+    spans = tuple((2 * radius + b - 1) // b + 1 for b in DENSE_BLOCK)
+    region = default_region(nb, spans, region_target)
+    try:
+        return FusedSpec(
+            kind=kind,
+            cell=cell,
+            origin_cell=origin,
+            block=DENSE_BLOCK,
+            nb_dims=nb,
+            ncand=int(np.prod(DENSE_BLOCK)),
+            radius=radius,
+            region=region,
+            tq=tq,
+            max_dist=float(max_dist),
+            huber_delta=huber_delta,
+        )
+    except ValueError:
+        return None  # window wider than the whole block grid etc.
+
+
+def planar_window_query(spec: FusedSpec, tabA, tabB, q):
+    """Exact full-window query via XLA row gathers — the fused kernel's
+    fallback for region-clamped stragglers (compacted subsets only; this is
+    the gather-bound path the kernel exists to avoid).
+
+    Returns ``(dist, target (M, 3), feats (M, F))`` with the same candidate
+    semantics as the kernel's probe loop but no region restriction.
+    """
+    NC = spec.ncand
+    nbx, nby, nbz = spec.nb_dims
+    bx, by, bz = spec.block
+    ox0, oy0, oz0 = spec.origin_cell
+    m = q.shape[0]
+    flatA = tabA.reshape(-1, 3 * NC)
+    inv_cell = np.float32(1.0 / spec.cell)
+    cellx = jnp.floor(q[:, 0] * inv_cell).astype(jnp.int32)
+    celly = jnp.floor(q[:, 1] * inv_cell).astype(jnp.int32)
+    cellz = jnp.floor(q[:, 2] * inv_cell).astype(jnp.int32)
+    lox = jnp.floor_divide(cellx - (ox0 + spec.radius), bx)
+    loy = jnp.floor_divide(celly - (oy0 + spec.radius), by)
+    loz = jnp.floor_divide(cellz - (oz0 + spec.radius), bz)
+
+    best_d2 = jnp.full((m,), _MISS_D2, jnp.float32)
+    best_t = jnp.zeros((m, 3), jnp.float32)
+    best_row = jnp.zeros((m,), jnp.int32)
+    best_slot = jnp.zeros((m,), jnp.int32)
+    iota_nc = jax.lax.broadcasted_iota(jnp.int32, (m, NC), 1)
+    for dx_, dy_, dz_ in spec.probes:
+        gx = lox + dx_
+        gy = loy + dy_
+        gz = loz + dz_
+        ok = (gx >= 0) & (gx < nbx) & (gy >= 0) & (gy < nby) & (gz >= 0) & (gz < nbz)
+        row = jnp.where(ok, (gz * nby + gy) * nbx + gx, 0)
+        rows = flatA[row]  # (M, 3*NC)
+        cx = rows[:, 0:NC]
+        cy = rows[:, NC : 2 * NC]
+        cz = rows[:, 2 * NC :]
+        d2 = (q[:, 0:1] - cx) ** 2 + (q[:, 1:2] - cy) ** 2 + (q[:, 2:3] - cz) ** 2
+        d2 = jnp.where(ok[:, None], d2, _MISS_D2)
+        dmin = jnp.min(d2, axis=1)
+        slot = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        sel = slot[:, None] == iota_nc
+        t = jnp.stack(
+            [
+                jnp.sum(jnp.where(sel, cx, 0.0), axis=1),
+                jnp.sum(jnp.where(sel, cy, 0.0), axis=1),
+                jnp.sum(jnp.where(sel, cz, 0.0), axis=1),
+            ],
+            axis=-1,
+        )
+        better = dmin < best_d2
+        best_d2 = jnp.where(better, dmin, best_d2)
+        best_t = jnp.where(better[:, None], t, best_t)
+        best_row = jnp.where(better, row, best_row)
+        best_slot = jnp.where(better, slot, best_slot)
+
+    F = spec.feat_dim
+    if F and tabB is not None:
+        flatB = tabB.reshape(-1, F * NC)
+        rrows = flatB[best_row]
+        selb = best_slot[:, None] == iota_nc
+        feats = jnp.stack(
+            [
+                jnp.sum(jnp.where(selb, rrows[:, f * NC : (f + 1) * NC], 0.0), axis=1)
+                for f in range(F)
+            ],
+            axis=-1,
+        )
+    else:
+        feats = jnp.zeros((m, F), jnp.float32)
+    return jnp.sqrt(best_d2), best_t, feats

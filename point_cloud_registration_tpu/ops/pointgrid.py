@@ -90,7 +90,13 @@ def build_packed_grid(points, cell_fine: float, cap: int = 32) -> PackedPointGri
 def _block_keys(points, origin_fine, cell_fine, nb_dims):
     fine = cell_coords(points, cell_fine) - origin_fine
     b = fine // _BLOCK
-    return b[:, 0] + nb_dims[0] * (b[:, 1] + nb_dims[1] * b[:, 2])
+    # f32/f64 boundary guard (see voxelize._build_voxel_map_dense): a point
+    # whose device-side cell lands one past the host-side bbox must not wrap
+    # into a wrong block-row slot. Route it to key == nb_total, which sorts
+    # last and is dropped by every scatter in _pack.
+    in_range = jnp.all((b >= 0) & (b < jnp.asarray(nb_dims, jnp.int32)), axis=-1)
+    key = b[:, 0] + nb_dims[0] * (b[:, 1] + nb_dims[1] * b[:, 2])
+    return jnp.where(in_range, key, jnp.int32(int(np.prod(nb_dims))))
 
 
 @jax.jit

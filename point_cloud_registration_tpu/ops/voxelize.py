@@ -41,6 +41,7 @@ from point_cloud_registration_tpu.ops.knn import (
     DENSE_BLOCK,
     NNResult,
     build_dense_blocks,
+    build_rich_blocks,
     nearest_voxel,
     nearest_voxel_blocks,
 )
@@ -60,8 +61,11 @@ class VoxelMap(NamedTuple):
     counts: jax.Array  # (C,) i32
     valid: jax.Array  # (C,) bool — counts >= min_points
     icovs: jax.Array | None  # (C, 6) f32 — present after with_icov builds (NDT)
-    dense_blocks: jax.Array | None  # (NB+1, 24) inf-padded blocked centroid table
+    dense_blocks: jax.Array | None  # (nbz, nby, nbx, 96) planar centroid table
     nb_dims: jax.Array | None  # (3,) i32 — block-grid dims
+    # planar per-cell feature table for the fused Pallas kernel: normals
+    # (plane kinds, width 96) or sqrt inverse covariances (NDT, width 192)
+    rich_blocks: jax.Array | None = None
 
     @property
     def num_voxels(self) -> jax.Array:
@@ -119,13 +123,17 @@ def build_voxel_map(
     with_icov: bool = False,
     with_normals: bool = True,
     capacity: int | None = None,
+    rich: str | None = None,
 ) -> VoxelMap:
     """Build the capacity-padded voxel map (reference ``set_points``).
 
     ``with_icov`` additionally materializes inverse covariances (NDT's
     ``calc_icov``, ndt.py:21); ``with_normals=False`` skips second moments
     and the eigensolve entirely (centroid-only maps, e.g. the ICP proxy).
-    One bounding-box host sync; the rest is a single jitted program.
+    ``rich`` ∈ {None, "normals", "sqrt_icov"} attaches the planar per-cell
+    feature table consumed by the fused Pallas align kernel (dense-direct
+    maps only). One bounding-box host sync; the rest is a single jitted
+    program.
     """
     points = jnp.asarray(points, dtype=jnp.float32)
     lo_cell, hi_cell = _bbox_cells(points, voxel_size)
@@ -156,10 +164,32 @@ def build_voxel_map(
         nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
         blocks = _build_blocks_jit(grid, vm.means, vm.valid, nb)
         vm = vm._replace(dense_blocks=blocks, nb_dims=jnp.asarray(nb, jnp.int32))
+        if rich == "normals":
+            vm = vm._replace(rich_blocks=_build_rich_jit(grid, vm.normals, vm.valid, nb))
+        elif rich == "sqrt_icov":
+            if vm.icovs is None:
+                raise ValueError("rich='sqrt_icov' requires with_icov=True")
+            u6 = sqrt_icov_u6(vm.icovs)
+            vm = vm._replace(rich_blocks=_build_rich_jit(grid, u6, vm.valid, nb))
+        elif rich is not None:
+            raise ValueError(f"unknown rich kind {rich!r}")
     return vm
 
 
 _build_blocks_jit = partial(jax.jit, static_argnames=("nb_dims_static",))(build_dense_blocks)
+_build_rich_jit = partial(jax.jit, static_argnames=("nb_dims_static",))(build_rich_blocks)
+
+
+@jax.jit
+def sqrt_icov_u6(icovs: jax.Array) -> jax.Array:
+    """Upper-triangular square-root components for the fused NDT kernel:
+    (..., 6) packed icov -> (..., 6) ``[u00, u01, u02, u11, u12, u22]`` with
+    ``U^T U = icov`` (see :func:`sqrt_icov_packed`)."""
+    U = sqrt_icov_packed(icovs)
+    return jnp.stack(
+        [U[..., 0, 0], U[..., 0, 1], U[..., 0, 2], U[..., 1, 1], U[..., 1, 2], U[..., 2, 2]],
+        axis=-1,
+    )
 
 
 @partial(jax.jit, static_argnames=("dims_static", "min_points", "with_icov", "with_normals"))
@@ -168,7 +198,15 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_p
     d_total = nx * ny * nz
     coords = cell_coords(points, cell_size)
     rel = coords - origin_cell
+    # In-range guard: the bbox comes from host float64 division while device
+    # keys use float32, which can disagree by one cell when p/cell_size lands
+    # within ~1 ULP of an integer. An unguarded out-of-range rel would wrap
+    # (negative scatter indices, or rel_x == nx aliasing into the next y-row)
+    # and corrupt an unrelated voxel; route such points to the dropped key
+    # instead (mirrors _update_voxel_map_dense).
+    in_range = jnp.all((rel >= 0) & (rel < jnp.asarray(dims_static, jnp.int32)), axis=-1)
     key = rel[:, 0] + nx * (rel[:, 1] + ny * rel[:, 2])
+    key = jnp.where(in_range, key, d_total)
     corner = coords.astype(jnp.float32) * cell_size
 
     # One-pass moment accumulation, ONE wide-row scatter: [1, p, p (x) p].
@@ -184,7 +222,7 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_p
             local[:, 2:3] * local[:, 2:3],  # zz
         ]
     vals = jnp.concatenate(parts, axis=-1)  # (N, 4 or 10)
-    acc = jnp.zeros((d_total, vals.shape[1]), jnp.float32).at[key].add(vals)
+    acc = jnp.zeros((d_total, vals.shape[1]), jnp.float32).at[key].add(vals, mode="drop")
     counts_f = acc[:, 0]
     counts = counts_f.astype(jnp.int32)
     safe_n = jnp.maximum(counts_f, 1.0)

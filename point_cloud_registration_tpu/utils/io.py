@@ -58,7 +58,10 @@ def read_pcd(path: str) -> np.recarray:
     with open(path, "rb") as f:
         header: dict[str, list[str]] = {}
         while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
+            raw_line = f.readline()
+            if not raw_line:  # EOF before DATA: truncated / not a PCD file
+                raise ValueError(f"{path}: PCD header ended before DATA line")
+            line = raw_line.decode("ascii", errors="replace").strip()
             if not line or line.startswith("#"):
                 continue
             key, *vals = line.split()

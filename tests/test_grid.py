@@ -132,28 +132,3 @@ def test_brute_force_knn_exact(cloud):
     d_ref, i_ref = knn_np(cloud, q, k=5)
     np.testing.assert_allclose(np.asarray(jax.device_get(d)), d_ref, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(jax.device_get(i)), i_ref)
-
-
-def test_tiled_near_pass_matches_per_block(cloud):
-    """The MXU one-hot tiled near pass must agree with the per-block gather
-    pass wherever it reports a (resolved or not) result; unresolved-by-clamp
-    queries surface as +inf and flow to the fallback tiers."""
-    from point_cloud_registration_tpu.ops.voxelize import build_voxel_map, query_nearest_voxel
-
-    vm = build_voxel_map(cloud, 1.0, min_points=5)
-    rng = np.random.RandomState(13)
-    # >= 4096 queries + the opt-in flag activates the tiled path
-    q = (cloud[rng.choice(len(cloud), 6000)] + rng.randn(6000, 3) * 0.4).astype(np.float32)
-    knn.USE_TILED_NEAR = True
-    try:
-        res = query_nearest_voxel(vm, jnp.asarray(q), voxel_size=1.0, max_dist=2.0)
-    finally:
-        knn.USE_TILED_NEAR = False
-    ref = knn.brute_force_nn(jnp.asarray(q), vm.means, vm.valid)
-    d_ours = np.asarray(jax.device_get(res.dist))
-    d_ref = np.asarray(jax.device_get(ref.dist))
-    gated = d_ref < 2.0
-    np.testing.assert_allclose(d_ours[gated], d_ref[gated], atol=1e-4)
-    i_ours = np.asarray(jax.device_get(res.idx))
-    i_ref = np.asarray(jax.device_get(ref.idx))
-    assert (i_ours[gated] == i_ref[gated]).mean() > 0.999
