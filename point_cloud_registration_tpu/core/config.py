@@ -57,6 +57,12 @@ class ICPConfig:
     tol: float = 1e-3
     huber_delta: float | None = None  # opt-in robust weighting (SURVEY M6)
     corr: CorrespondenceConfig = CorrespondenceConfig()
+    # data-independent query tiers for vmapped/batched execution, where
+    # lax.switch would execute every branch per element anyway
+    fixed_tiers: bool = False
+    # "auto": fused Pallas align kernel on TPU when tables permit; "xla"
+    # forces the gather-based path; "pallas" forces the kernel
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +75,8 @@ class PlaneICPConfig:
     k: int = 15  # neighbors for normal estimation
     huber_delta: float | None = None
     corr: CorrespondenceConfig = CorrespondenceConfig()
+    fixed_tiers: bool = False
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,6 +92,7 @@ class VPlaneICPConfig:
     # data-independent query tiers: set for vmapped/batched execution, where
     # lax.switch would execute every branch per element anyway
     fixed_tiers: bool = False
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,3 +106,4 @@ class NDTConfig:
     min_points: int = 10
     huber_delta: float | None = None
     fixed_tiers: bool = False
+    backend: str = "auto"

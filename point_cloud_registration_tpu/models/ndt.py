@@ -19,7 +19,9 @@ import jax.numpy as jnp
 from point_cloud_registration_tpu.core.config import NDTConfig
 from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
 from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
+from point_cloud_registration_tpu.models._fused import fused_voxel_align, use_fused
 from point_cloud_registration_tpu.models.base import AlignResult, Registration
+from point_cloud_registration_tpu.ops.pallas.fused_align import voxel_fused_spec
 from point_cloud_registration_tpu.ops.reduce import ndt_stats
 from point_cloud_registration_tpu.ops.voxelize import (
     VoxelMap,
@@ -29,9 +31,14 @@ from point_cloud_registration_tpu.ops.voxelize import (
 
 
 def build_ndt_target(points, cfg: NDTConfig) -> VoxelMap:
-    """Voxel map with inverse covariances (``NDT.set_target``, ndt.py:18-22)."""
+    """Voxel map with inverse covariances (``NDT.set_target``, ndt.py:18-22).
+
+    Dense-direct maps also get the planar sqrt-icov table for the fused
+    Pallas align kernel (whitened-residual form, see ops/pallas/fused_align).
+    """
     return build_voxel_map(
-        points, cfg.voxel_size, min_points=cfg.min_points, with_icov=True
+        points, cfg.voxel_size, min_points=cfg.min_points, with_icov=True,
+        rich="sqrt_icov" if cfg.backend != "xla" else None,
     )
 
 
@@ -86,6 +93,9 @@ class NDT(Registration):
 
     def set_target(self, target) -> None:
         self._target = build_ndt_target(target, self.cfg)
+        self._spec = voxel_fused_spec(
+            self._target, "ndt", self.cfg.max_dist, self.cfg.huber_delta
+        )
 
     def update_target(self, target) -> None:
         """Incremental map update (reference intent, registration.py:36-43)."""
@@ -101,6 +111,13 @@ class NDT(Registration):
         return self._target
 
     def _align_fn(self, target, source, src_weight, init_T) -> AlignResult:
+        spec = getattr(self, "_spec", None)
+        if use_fused(self.cfg.backend, spec):
+            T, diag = fused_voxel_align(
+                target, source, src_weight, init_T, self.cfg, spec,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return AlignResult(T=T, diagnostics=diag)
         return ndt_align(target, source, src_weight, init_T, self.cfg)
 
     def _stats_fn(self, target, source, src_weight, T) -> GNStats:

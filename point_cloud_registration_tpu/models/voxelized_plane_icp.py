@@ -19,7 +19,9 @@ import jax.numpy as jnp
 from point_cloud_registration_tpu.core.config import VPlaneICPConfig
 from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
 from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
+from point_cloud_registration_tpu.models._fused import fused_voxel_align, use_fused
 from point_cloud_registration_tpu.models.base import AlignResult, Registration
+from point_cloud_registration_tpu.ops.pallas.fused_align import voxel_fused_spec
 from point_cloud_registration_tpu.ops.reduce import plane_stats
 from point_cloud_registration_tpu.ops.voxelize import (
     VoxelMap,
@@ -30,9 +32,11 @@ from point_cloud_registration_tpu.ops.voxelize import (
 
 def build_vplane_target(points, cfg: VPlaneICPConfig) -> VoxelMap:
     """Voxel map with Gaussian stats + normals (``VPlaneICP.set_target``,
-    voxelized_plane_icp.py:18-21)."""
+    voxelized_plane_icp.py:18-21). Dense-direct maps also get the planar
+    normal table that enables the fused Pallas align kernel."""
     return build_voxel_map(
-        points, cfg.voxel_size, min_points=cfg.min_points, with_icov=False
+        points, cfg.voxel_size, min_points=cfg.min_points, with_icov=False,
+        rich="normals" if cfg.backend != "xla" else None,
     )
 
 
@@ -88,6 +92,9 @@ class VPlaneICP(Registration):
 
     def set_target(self, target) -> None:
         self._target = build_vplane_target(target, self.cfg)
+        self._spec = voxel_fused_spec(
+            self._target, "plane", self.cfg.max_dist, self.cfg.huber_delta
+        )
 
     def update_target(self, target) -> None:
         """Incremental map update — the capability the reference declares but
@@ -105,6 +112,13 @@ class VPlaneICP(Registration):
         return self._target
 
     def _align_fn(self, target, source, src_weight, init_T) -> AlignResult:
+        spec = getattr(self, "_spec", None)
+        if use_fused(self.cfg.backend, spec):
+            T, diag = fused_voxel_align(
+                target, source, src_weight, init_T, self.cfg, spec,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return AlignResult(T=T, diagnostics=diag)
         return vplane_align(target, source, src_weight, init_T, self.cfg)
 
     def _stats_fn(self, target, source, src_weight, T) -> GNStats:

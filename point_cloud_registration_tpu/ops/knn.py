@@ -50,6 +50,19 @@ MISS_COORD = np.float32(1e30)
 FOUND_MAX = np.float32(1e14)
 
 
+def padded_row_width(n_floats: int) -> int:
+    """Round a planar block-row width up to the TPU lane tiling (128): DMA
+    slices of the table must be 128-aligned in the last dimension."""
+    return -(-n_floats // 128) * 128
+
+
+def padded_z_blocks(nbz: int) -> int:
+    """Round the z block count up to the sublane tiling (8): the fused
+    kernel's region DMA slices the z dimension fully, and Mosaic requires
+    the second-minor slice extent to be 8-aligned."""
+    return -(-nbz // 8) * 8
+
+
 class NNResult(NamedTuple):
     dist: jax.Array  # (N,) f32 — Euclidean distance (inf when no candidate)
     idx: jax.Array  # (N,) i32 — matched slot/point index (-1 when none)
@@ -127,7 +140,7 @@ def nearest_voxel_blocks(
 ) -> NNResult:
     """Nearest-voxel query against a blocked dense centroid table.
 
-    ``dense_blocks`` is (nbz, nby, nbx, bx*by*bz*3) in *planar* layout —
+    ``dense_blocks`` is (nby, nbz8, nbx, row_w) in *planar* layout —
     entry [bz, by, bx] holds that block's cell centroids as
     ``[x_0..x_{w-1}, y_0.., z_0..]`` (``MISS_COORD`` where empty/invalid/
     out-of-grid; planar so the Pallas fused-align kernel can slice contiguous
@@ -147,8 +160,11 @@ def nearest_voxel_blocks(
     """
     bx, by, bz = DENSE_BLOCK
     w = bx * by * bz
-    nbz_s, nby_s, nbx_s = dense_blocks.shape[0], dense_blocks.shape[1], dense_blocks.shape[2]
-    flat_blocks = dense_blocks.reshape(nbz_s * nby_s * nbx_s, w * 3)
+    # table layout (nby, nbz8, nbx, row_w): z padded to the sublane tiling
+    # and second-minor so the fused kernel's region DMA can slice it fully
+    nbz8 = dense_blocks.shape[1]
+    row_w = dense_blocks.shape[3]  # 3*w padded to the 128-lane tiling
+    flat_blocks = dense_blocks.reshape(-1, row_w)
     nbx, nby, nbz = nb_dims[0], nb_dims[1], nb_dims[2]
     gnx, gny = grid.dims[0], grid.dims[1]  # true cell-grid dims for final keys
     cell_sentinel = jnp.int32(np.iinfo(np.int32).max)
@@ -172,9 +188,9 @@ def nearest_voxel_blocks(
                 for dbz in range(spans[2]):
                     b3 = lo_b + jnp.asarray([dbx, dby, dbz], jnp.int32)
                     ok = jnp.all((b3 >= 0) & (b3 < nb_dims), axis=-1)
-                    row = b3[:, 0] + nbx * (b3[:, 1] + nby * b3[:, 2])
+                    row = (b3[:, 1] * nbz8 + b3[:, 2]) * nbx + b3[:, 0]
                     row = jnp.where(ok, row, 0)
-                    cells = flat_blocks[row].reshape(-1, 3, w)  # (M, 3, w) planar
+                    cells = flat_blocks[row][:, : 3 * w].reshape(-1, 3, w)  # planar
                     diff = q[:, :, None] - cells
                     d2 = (
                         diff[:, 0, :] * diff[:, 0, :]
@@ -239,23 +255,88 @@ def nearest_voxel_blocks(
     return NNResult(dist=jnp.sqrt(best_d2), idx=best_key)
 
 
-def build_dense_blocks(
-    grid: Grid, means: jax.Array, valid: jax.Array, nb_dims_static: tuple[int, int, int]
+def dense_blocks_from_dense(
+    means: jax.Array,
+    valid: jax.Array,
+    dims_static: tuple[int, int, int],
+    nb_dims_static: tuple[int, int, int],
+    feats: jax.Array | None = None,
 ) -> jax.Array:
-    """(nbz, nby, nbx, bx*by*bz*3) planar blocked centroid table for
+    """Blocked planar table for a *dense-direct* map (slot == linear cell).
+
+    When the voxel slot IS the linear cell key (voxelize dense-direct
+    builds), the blocked table is a pure permutation of the per-cell arrays:
+    reshape cells to (nz, ny, nx), pad each axis to a block multiple, split
+    into (block, intra-block) axes, and transpose to the planar row order.
+    One fused XLA copy (~tens of MB at HBM speed) replaces the per-component
+    row-bound scatters of :func:`build_dense_blocks` (~100 ns/row — the
+    round-1 set_target bottleneck). Same output layout/value contract as
+    :func:`build_dense_blocks`.
+    """
+    bx, by, bz = DENSE_BLOCK
+    nx, ny, nz = dims_static
+    nbx, nby, nbz = nb_dims_static
+    nbz8 = padded_z_blocks(nbz)
+    w = bx * by * bz
+    coord_w = padded_row_width(3 * w)
+
+    def to_blocks(vals, fill):
+        # (d_total, K) cell values -> (nby, nbz8, nbx, K*w) planar rows
+        k = vals.shape[1]
+        a = vals.reshape(nz, ny, nx, k)
+        a = jnp.pad(
+            a,
+            ((0, nbz8 * bz - nz), (0, nby * by - ny), (0, nbx * bx - nx), (0, 0)),
+            constant_values=fill,
+        )
+        a = a.reshape(nbz8, bz, nby, by, nbx, bx, k)
+        # planar row order: component slowest, then (lz, ly, lx) — matches
+        # the scatter path's col = lx + bx*(ly + by*lz) + comp*w
+        a = a.transpose(2, 0, 4, 6, 1, 3, 5)
+        a = a.reshape(nby, nbz8, nbx, k * w)
+        pad_w = padded_row_width(k * w) - k * w
+        if pad_w:
+            a = jnp.pad(
+                a, ((0, 0), (0, 0), (0, 0), (0, pad_w)), constant_values=fill
+            )
+        return a
+
+    coords = to_blocks(jnp.where(valid[:, None], means, MISS_COORD), MISS_COORD)
+    if feats is None:
+        return coords
+    fb = to_blocks(jnp.where(valid[:, None], feats, 0.0), 0.0)
+    return jnp.concatenate([coords, fb], axis=-1)
+
+
+def build_dense_blocks(
+    grid: Grid,
+    means: jax.Array,
+    valid: jax.Array,
+    nb_dims_static: tuple[int, int, int],
+    feats: jax.Array | None = None,
+) -> jax.Array:
+    """(nby, nbz8, nbx, row_w) planar blocked table for
     :func:`nearest_voxel_blocks` and the Pallas fused-align kernel.
 
-    Planar row layout ``[x_0..x_{w-1}, y_0.., z_0..]`` (structure-of-arrays)
-    so component lanes are contiguous slices of a fetched row. Empty /
-    invalid / out-of-grid cells hold ``MISS_COORD`` (finite: the fused
-    kernel's one-hot MXU gather would turn 0 x inf into NaN).
-    ``nb_dims_static`` are host ints (block grid dims) because they size the
-    array.
+    Planar row layout: centroids ``[x_0..x_{w-1}, y_0.., z_0..]`` in the
+    first 128-lane group (structure-of-arrays, so component lanes are
+    contiguous slices of a fetched row), then — when ``feats`` is given —
+    per-cell features (plane normals or sqrt inverse covariances) planar at
+    column 128 onward. One merged row means ONE region DMA and one rich
+    fetch per kernel tile. Empty / invalid / out-of-grid cells hold
+    ``MISS_COORD`` coordinates (finite: the one-hot MXU gather would turn
+    0 x inf into NaN) and 0 features (never selected — sentinel candidates
+    cannot win the argmin). ``nb_dims_static`` are host ints (block grid
+    dims) because they size the array.
     """
     bx, by, bz = DENSE_BLOCK
     w = bx * by * bz
+    coord_w = padded_row_width(3 * w)
+    f_dim = 0 if feats is None else feats.shape[1]
+    row_w = coord_w + (padded_row_width(w * f_dim) if f_dim else 0)
     nbx, nby, nbz = nb_dims_static
-    nb = nbx * nby * nbz
+    nbz8 = padded_z_blocks(nbz)
+    nb = nbx * nby * nbz8
     # cell coords of every slot from its linear key
     keys = grid.keys
     nx, ny = grid.dims[0], grid.dims[1]
@@ -268,52 +349,46 @@ def build_dense_blocks(
     cx = safe_keys % nx
     cy = (safe_keys // nx) % ny
     cz = safe_keys // (nx * ny)
-    brow = (cx // bx) + nbx * ((cy // by) + nby * (cz // bz))
+    brow = ((cy // by) * nbz8 + (cz // bz)) * nbx + (cx // bx)
     col = (cx % bx) + bx * ((cy % by) + by * (cz % bz))
-    flat_base = brow * (w * 3) + col
-    table = jnp.full((nb * w * 3,), MISS_COORD, jnp.float32)
-    oob = jnp.int32(nb * w * 3)  # dropped by the scatter
-    for comp in range(3):
-        idx = jnp.where(ok, flat_base + comp * w, oob)
-        table = table.at[idx].set(means[:, comp], mode="drop")
-    return table.reshape(nbz, nby, nbx, w * 3)
+    flat_base = brow * row_w + col
+    if f_dim:
+        # MISS_COORD in the coordinate columns, 0 in the feature columns
+        col_in_row = jnp.arange(nb * row_w, dtype=jnp.int32) % row_w
+        table = jnp.where(col_in_row < coord_w, MISS_COORD, np.float32(0.0))
+    else:
+        table = jnp.full((nb * row_w,), MISS_COORD, jnp.float32)
+    oob = jnp.int32(nb * row_w)  # dropped by the scatter
 
+    # Compact the valid slots before scattering: scatters are row-bound, and
+    # typically only ~15% of a dense-direct map's cells pass min_points.
+    c_rows = keys.shape[0]
+    cap = min(max(c_rows // 4, 65536), c_rows)
+    n_ok = jnp.sum(ok)
 
-def build_rich_blocks(
-    grid: Grid,
-    feats: jax.Array,
-    valid: jax.Array,
-    nb_dims_static: tuple[int, int, int],
-) -> jax.Array:
-    """(nbz, nby, nbx, F * bx*by*bz) planar per-cell feature table.
+    def compacted(table):
+        sel = jnp.nonzero(ok, size=cap, fill_value=0)[0]
+        live = jnp.arange(cap) < n_ok
+        base_c = jnp.where(live, flat_base[sel], oob)
+        for comp in range(3):
+            table = table.at[base_c + comp * w].set(means[sel, comp], mode="drop")
+        for comp in range(f_dim):
+            table = table.at[base_c + coord_w + comp * w].set(
+                feats[sel, comp], mode="drop"
+            )
+        return table
 
-    Companion of :func:`build_dense_blocks` for the fused kernel's rich
-    fetch: per-cell features (plane normals, sqrt inverse covariances) laid
-    out planar per block row. Invalid cells hold 0 — they can never win the
-    centroid argmin, so their features are never selected.
-    """
-    bx, by, bz = DENSE_BLOCK
-    w = bx * by * bz
-    nbx, nby, nbz = nb_dims_static
-    nb = nbx * nby * nbz
-    f_dim = feats.shape[1]
-    keys = grid.keys
-    nx, ny = grid.dims[0], grid.dims[1]
-    total = grid.dims[0] * grid.dims[1] * grid.dims[2]
-    ok = (keys != INVALID_KEY) & (keys >= 0) & (keys < total) & valid
-    safe_keys = jnp.where(ok, keys, 0)
-    cx = safe_keys % nx
-    cy = (safe_keys // nx) % ny
-    cz = safe_keys // (nx * ny)
-    brow = (cx // bx) + nbx * ((cy // by) + nby * (cz // bz))
-    col = (cx % bx) + bx * ((cy % by) + by * (cz % bz))
-    flat_base = brow * (w * f_dim) + col
-    table = jnp.zeros((nb * w * f_dim,), jnp.float32)
-    oob = jnp.int32(nb * w * f_dim)
-    for comp in range(f_dim):
-        idx = jnp.where(ok, flat_base + comp * w, oob)
-        table = table.at[idx].set(feats[:, comp], mode="drop")
-    return table.reshape(nbz, nby, nbx, w * f_dim)
+    def full(table):
+        for comp in range(3):
+            idx = jnp.where(ok, flat_base + comp * w, oob)
+            table = table.at[idx].set(means[:, comp], mode="drop")
+        for comp in range(f_dim):
+            idx = jnp.where(ok, flat_base + coord_w + comp * w, oob)
+            table = table.at[idx].set(feats[:, comp], mode="drop")
+        return table
+
+    table = jax.lax.cond(n_ok <= cap, compacted, full, table)
+    return table.reshape(nby, nbz8, nbx, row_w)
 
 
 def nearest_point(

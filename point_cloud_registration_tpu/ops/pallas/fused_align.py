@@ -52,7 +52,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from point_cloud_registration_tpu.ops.knn import FOUND_MAX
+from point_cloud_registration_tpu.ops.knn import (
+    FOUND_MAX,
+    padded_row_width,
+    padded_z_blocks,
+)
 
 _MISS_D2 = np.float32(1e30)  # finite: feeds min/compare, never matmuls
 
@@ -76,6 +80,9 @@ class FusedSpec:
     tq: int  # queries per tile
     max_dist: float
     huber_delta: float | None = None
+    # one-hot gather matmul precision: "highest" is exact f32; "default"
+    # truncates coordinates to bf16 in the MXU (perf experiments only)
+    gather_precision: str = "highest"
 
     @property
     def feat_dim(self) -> int:
@@ -109,13 +116,20 @@ class FusedSpec:
             return float("inf")
         return self.cell
 
+    @property
+    def nbz8(self) -> int:
+        """z block count padded to the sublane tiling; the kernel's region
+        is always the FULL (padded) z extent — Mosaic's DMA slicing rules
+        make x/y the only dynamically-sliced region axes."""
+        return padded_z_blocks(self.nb_dims[2])
+
     def __post_init__(self):
-        for s, r in zip(self.spans, self.region):
+        for s, r in zip(self.spans[:2], self.region[:2]):
             if s > r:
                 raise ValueError(
                     f"window span {self.spans} exceeds region {self.region}"
                 )
-        for r, nb in zip(self.region, self.nb_dims):
+        for r, nb in zip(self.region[:2], self.nb_dims[:2]):
             if r > nb:
                 raise ValueError(f"region {self.region} exceeds block grid {self.nb_dims}")
 
@@ -143,35 +157,108 @@ def morton_code(c: jax.Array) -> jax.Array:
     return spread(c[:, 0]) | (spread(c[:, 1]) << 1) | (spread(c[:, 2]) << 2)
 
 
-def morton_order(spec: FusedSpec, q0: jax.Array) -> jax.Array:
-    """Query permutation that makes consecutive queries spatially local.
+def band_height(spec: FusedSpec) -> int:
+    """Window-origin rows per y-band: a band of ``RY - span_y + 1`` rows plus
+    its window provably fits the RY-row region anchored at the band start."""
+    return spec.region[1] - spec.spans[1] + 1
 
-    Computed once per align from the *initial* transformed positions: a
-    rigid motion bounded by the convergence basin moves a point by far less
-    than a region, so tile locality survives every subsequent iteration.
+
+def n_bands(spec: FusedSpec) -> int:
+    # window-origin lo_y ranges over [-1, nby): nby + 1 values
+    return -(-(spec.nb_dims[1] + 1) // band_height(spec))
+
+
+def padded_capacity(spec: FusedSpec, n: int) -> int:
+    """Static capacity of the band-padded query layout (see :func:`band_layout`)."""
+    return n + n_bands(spec) * spec.tq
+
+
+def band_layout(spec: FusedSpec, q0: jax.Array):
+    """Assign queries to region-aligned tiles (computed once per align).
+
+    Queries are grouped into y-BANDS by their window-origin block row and
+    sorted by x (then z) within a band; each band's run is padded to a tile
+    multiple so no tile straddles a band. A tile's queries then provably fit
+    an (RX, RY)-block region: y exactly (band construction), x whenever the
+    tile's sorted x-extent is under RX - span_x (the overwhelmingly common
+    case — the kernel flags the rest unresolved). Earlier Morton-run tiling
+    left 27% of bench queries region-clamped; this leaves ~0.
+
+    Returns ``(pos (N,) i32, n_pad)``: scatter row for each query in the
+    padded layout of static size :func:`padded_capacity`. Positions are
+    computed from the *initial* transformed points; rigid motion over the
+    align's convergence basin moves points far less than the region slack,
+    so the assignment stays valid every iteration.
     """
-    cell = jnp.floor(q0 / spec.cell).astype(jnp.int32)
-    b = (cell - jnp.asarray(spec.origin_cell, jnp.int32)) // jnp.asarray(
-        spec.block, jnp.int32
+    tq = spec.tq
+    bh = band_height(spec)
+    nb_b = n_bands(spec)
+    bx, by, bz = spec.block
+    ox0, oy0, oz0 = spec.origin_cell
+    inv_cell = np.float32(1.0 / spec.cell)
+    celly = jnp.floor(q0[:, 1] * inv_cell).astype(jnp.int32)
+    cellx = jnp.floor(q0[:, 0] * inv_cell).astype(jnp.int32)
+    cellz = jnp.floor(q0[:, 2] * inv_cell).astype(jnp.int32)
+    lo_y = jnp.floor_divide(celly - (oy0 + spec.radius), by)
+    lo_x = jnp.floor_divide(cellx - (ox0 + spec.radius), bx)
+    lo_z = jnp.floor_divide(cellz - (oz0 + spec.radius), bz)
+    band = jnp.clip((lo_y + 1) // bh, 0, nb_b - 1)
+    # sort by (band, x, z): int64-safe composite in two i32 stages
+    sort_key = (band * 4096 + jnp.clip(lo_x + 2, 0, 4095)) * 1024 + jnp.clip(
+        lo_z + 2, 0, 1023
     )
-    return jnp.argsort(morton_code(jnp.clip(b, 0, 1023)), stable=True).astype(jnp.int32)
+    order = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
+    band_s = band[order]
+    n = q0.shape[0]
+    counts = jnp.zeros((nb_b,), jnp.int32).at[band].add(1)
+    padded = -(-counts // tq) * tq
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )
+    first = jnp.searchsorted(band_s, jnp.arange(nb_b, dtype=jnp.int32)).astype(
+        jnp.int32
+    )
+    rank = jnp.arange(n, dtype=jnp.int32) - first[band_s]
+    pos_sorted = offsets[band_s] + rank
+    pos = jnp.zeros((n,), jnp.int32).at[order].set(pos_sorted)
+    return pos
+
+
+def scatter_banded(spec: FusedSpec, pos, q, p, w):
+    """Place queries into the band-padded layout; pad slots carry w = 0."""
+    n_cap = padded_capacity(spec, q.shape[0])
+    qp = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(q)
+    pp = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(p)
+    wp = jnp.zeros((n_cap,), jnp.float32).at[pos].set(w)
+    return qp, pp, wp
 
 
 def _make_kernel(spec: FusedSpec):
     TQ = spec.tq
-    RX, RY, RZ = spec.region
-    NR = RX * RY * RZ
+    RX, RY = spec.region[0], spec.region[1]
+    NBZ8 = spec.nbz8
+    NR = RY * NBZ8 * RX
     NC = spec.ncand
-    WA = 3 * NC
+    WA = padded_row_width(3 * NC)  # coordinate columns of the merged row
     F = spec.feat_dim
-    WB = F * NC
+    WT = WA + (padded_row_width(F * NC) if F else 0)  # full merged row
     bx, by, bz = spec.block
     nbx, nby, nbz = spec.nb_dims
     ox0, oy0, oz0 = spec.origin_cell
     inv_found = np.float32(FOUND_MAX) ** 2
+    gather_prec = (
+        jax.lax.Precision.HIGHEST
+        if spec.gather_precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
 
-    def linearize_and_reduce(q, p, wq, tx, ty, tz, feats, rf):
-        """(8, 8) C block from per-query correspondences. ``rf`` = R flat."""
+    def linearize_and_reduce(q, p, wq, tx, ty, tz, feats, rf, a_buf):
+        """(8, 8) C block from per-query correspondences. ``rf`` = R flat.
+
+        Rows of the augmented design matrix ``[J | r | 1]`` are staged
+        through the ``a_buf`` VMEM scratch: Mosaic cannot concatenate
+        vectors whose producers left them at different sublane offsets, but
+        stores normalize layout."""
         ones = jnp.ones_like(wq)
         dx = q[:, 0] - tx
         dy = q[:, 1] - ty
@@ -194,10 +281,14 @@ def _make_kernel(spec: FusedSpec):
             jrx = py * tnz - pz * tny
             jry = pz * tnx - px * tnz
             jrz = px * tny - py * tnx
-            a = jnp.stack([nx, ny, nz, jrx, jry, jrz, rs, ones], axis=0)  # (8, TQ)
+            for k, v in enumerate((nx, ny, nz, jrx, jry, jrz, rs, ones)):
+                a_buf[k, :] = v
+            a = a_buf[...]  # (8, TQ)
             aw = a * wq[None, :]
             return jax.lax.dot_general(
-                aw, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                aw, a, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         # m = 3 kinds: J = [I | K], K = -R skew(p)  (icp.py:42-51, ndt.py:40)
@@ -240,28 +331,52 @@ def _make_kernel(spec: FusedSpec):
             rres = ur[0] * d3[0] + ur[1] * d3[1] + ur[2] * d3[2]
             # count each query's weight once (row 0 only) in C[7, 7]
             last = ones if row == 0 else zeros
-            a = jnp.stack(list(left) + list(right) + [rres, last], axis=0)
+            for k, v in enumerate(tuple(left) + tuple(right) + (rres, last)):
+                a_buf[k, :] = v
+            a = a_buf[...]
             aw = a * wq[None, :]
             c = c + jax.lax.dot_general(
-                aw, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                aw, a, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         return c
 
-    def kernel(orig_ref, rflat_ref, q_ref, p_ref, w_ref, tabA, tabB,
-               stats_ref, unres_ref, regA, regB, semA, semB):
+    def kernel(orig_ref, rflat_ref, q_ref, p_ref, w_ref, tab,
+               stats_ref, unres_ref, reg, a_buf, sem):
+        # The merged table arrives reshaped (nby, nbz8, nbx * WT): Mosaic
+        # region DMA constraints — last dim slices must be 128-aligned (WT
+        # is), the second-minor slice must cover a multiple of 8 (nbz8 is,
+        # and it is sliced FULLY so its start index is provably 0), and only
+        # leading dims may have unconstrained dynamic starts (y).
+        #
+        # Regions are DOUBLE-BUFFERED across sequential grid steps: tile i
+        # computes from slot i%2 while tile i+1's region streams into the
+        # other slot, so the strided fetch overlaps compute.
         i = pl.program_id(0)
+        nt = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
         ox = orig_ref[i, 0]
         oy = orig_ref[i, 1]
-        oz = orig_ref[i, 2]
-        cpA = pltpu.make_async_copy(
-            tabA.at[pl.ds(oz, RZ), pl.ds(oy, RY), pl.ds(ox, RX), :], regA, semA
-        )
-        cpA.start()
-        if F:
-            cpB = pltpu.make_async_copy(
-                tabB.at[pl.ds(oz, RZ), pl.ds(oy, RY), pl.ds(ox, RX), :], regB, semB
+
+        def dma(t, sl):
+            t = jnp.minimum(t, nt - 1)
+            ox_ = orig_ref[t, 0]
+            oy_ = orig_ref[t, 1]
+            return pltpu.make_async_copy(
+                tab.at[pl.ds(oy_, RY), :, pl.ds(pl.multiple_of(ox_ * WT, 128), RX * WT)],
+                reg.at[sl],
+                sem.at[sl],
             )
-            cpB.start()
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(i + 1 < nt)
+        def _():
+            dma(i + 1, nslot).start()
 
         q = q_ref[...]  # (TQ, 3)
         p = p_ref[...]
@@ -277,20 +392,23 @@ def _make_kernel(spec: FusedSpec):
         loy = jnp.floor_divide(celly - (oy0 + spec.radius), by)
         loz = jnp.floor_divide(cellz - (oz0 + spec.radius), bz)
 
-        best_d2 = jnp.full((TQ,), _MISS_D2, jnp.float32)
-        best_tx = jnp.zeros((TQ,), jnp.float32)
-        best_ty = jnp.zeros((TQ,), jnp.float32)
-        best_tz = jnp.zeros((TQ,), jnp.float32)
-        best_ridx = jnp.zeros((TQ,), jnp.int32)
-        best_slot = jnp.zeros((TQ,), jnp.int32)
-        miss = jnp.zeros((TQ,), jnp.bool_)
-
         iota_nr = jax.lax.broadcasted_iota(jnp.int32, (TQ, NR), 1)
         iota_nc = jax.lax.broadcasted_iota(jnp.int32, (TQ, NC), 1)
 
-        cpA.wait()
-        regA_flat = regA[...].reshape(NR, WA)
-        for dx_, dy_, dz_ in spec.probes:
+        dma(i, slot).wait()
+        reg_flat = reg[slot].reshape(NR, WT)
+        reg_coords = reg_flat[:, :WA]
+        psx, psy = spec.spans[0], spec.spans[1]
+        n_probes = len(spec.probes)
+
+        # fori_loop (not a Python unroll): Mosaic stack-allocates every live
+        # buffer, and 12 concurrently-live (TQ, NR) one-hots blow the VMEM
+        # scoped limit; the loop body reuses one probe's worth of buffers.
+        def probe_body(k, carry):
+            best_d2, best_ridx, best_slot, miss = carry
+            dx_ = k % psx
+            dy_ = (k // psx) % psy
+            dz_ = k // (psx * psy)
             gx = lox + dx_
             gy = loy + dy_
             gz = loz + dz_
@@ -299,17 +417,16 @@ def _make_kernel(spec: FusedSpec):
             )
             rx_ = gx - ox
             ry_ = gy - oy
-            rz_ = gz - oz
-            reg_ok = (
-                (rx_ >= 0) & (rx_ < RX) & (ry_ >= 0) & (ry_ < RY) & (rz_ >= 0) & (rz_ < RZ)
-            )
+            reg_ok = (rx_ >= 0) & (rx_ < RX) & (ry_ >= 0) & (ry_ < RY)
             ok = glob_ok & reg_ok
-            miss = miss | (glob_ok & jnp.logical_not(reg_ok))
-            ridx = jnp.where(ok, (rz_ * RY + ry_) * RX + rx_, 0)
+            miss = jnp.maximum(miss, (glob_ok & jnp.logical_not(reg_ok)).astype(jnp.int32))
+            # region layout (RY, NBZ8, RX): z is fully resident
+            ridx = jnp.where(ok, (ry_ * NBZ8 + gz) * RX + rx_, 0)
             oh = jnp.where(
                 (ridx[:, None] == iota_nr) & ok[:, None], np.float32(1.0), np.float32(0.0)
             )
-            rows = jnp.dot(oh, regA_flat, preferred_element_type=jnp.float32)
+            rows = jnp.dot(oh, reg_coords, preferred_element_type=jnp.float32,
+                           precision=gather_prec)
             cx = rows[:, 0:NC]
             cy = rows[:, NC : 2 * NC]
             cz = rows[:, 2 * NC : 3 * NC]
@@ -320,57 +437,70 @@ def _make_kernel(spec: FusedSpec):
             d2 = jnp.where(ok[:, None], d2, _MISS_D2)
             dmin = jnp.min(d2, axis=1)
             slot = jnp.argmin(d2, axis=1).astype(jnp.int32)
-            sel = slot[:, None] == iota_nc
-            sx = jnp.sum(jnp.where(sel, cx, 0.0), axis=1)
-            sy = jnp.sum(jnp.where(sel, cy, 0.0), axis=1)
-            sz_ = jnp.sum(jnp.where(sel, cz, 0.0), axis=1)
+            # the winner's coordinates/features are fetched ONCE after the
+            # loop (from best_ridx/best_slot) — not per probe
             better = dmin < best_d2
-            best_d2 = jnp.where(better, dmin, best_d2)
-            best_tx = jnp.where(better, sx, best_tx)
-            best_ty = jnp.where(better, sy, best_ty)
-            best_tz = jnp.where(better, sz_, best_tz)
-            best_ridx = jnp.where(better, ridx, best_ridx)
-            best_slot = jnp.where(better, slot, best_slot)
+            return (
+                jnp.where(better, dmin, best_d2),
+                jnp.where(better, ridx, best_ridx),
+                jnp.where(better, slot, best_slot),
+                miss,
+            )
+
+        init = (
+            jnp.full((TQ,), _MISS_D2, jnp.float32),
+            jnp.zeros((TQ,), jnp.int32),
+            jnp.zeros((TQ,), jnp.int32),
+            jnp.zeros((TQ,), jnp.int32),
+        )
+        best_d2, best_ridx, best_slot, miss_i = (
+            jax.lax.fori_loop(0, n_probes, probe_body, init)
+        )
+        miss = miss_i > 0
 
         found = best_d2 < inv_found
         dist = jnp.sqrt(best_d2)
         resolved = dist < np.float32(min(spec.exact_radius, 3e38))
         wq = w_in * found.astype(jnp.float32) * (dist < np.float32(spec.max_dist))
+        live = w_in > 0  # band-padding slots carry w = 0: never unresolved
         if spec.kind in ("point", "plane_pt"):
             wq = wq * resolved.astype(jnp.float32)
-            unresolved = miss | jnp.logical_not(resolved)
+            unresolved = (miss | jnp.logical_not(resolved)) & live
         else:
             wq = wq * jnp.logical_not(miss).astype(jnp.float32)
-            unresolved = miss
+            unresolved = miss & live
 
-        feats = ()
-        if F:
-            cpB.wait()
-            regB_flat = regB[...].reshape(NR, WB)
-            ohb = jnp.where(
-                (best_ridx[:, None] == iota_nr) & found[:, None],
-                np.float32(1.0),
-                np.float32(0.0),
-            )
-            rrows = jnp.dot(ohb, regB_flat, preferred_element_type=jnp.float32)
-            selb = best_slot[:, None] == iota_nc
-            feats = tuple(
-                jnp.sum(jnp.where(selb, rrows[:, f * NC : (f + 1) * NC], 0.0), axis=1)
-                for f in range(F)
-            )
+        # ONE merged-row gather serves the winner's coordinates and features
+        ohb = jnp.where(
+            (best_ridx[:, None] == iota_nr) & found[:, None],
+            np.float32(1.0),
+            np.float32(0.0),
+        )
+        rrows = jnp.dot(ohb, reg_flat, preferred_element_type=jnp.float32,
+                        precision=gather_prec)
+        selb = best_slot[:, None] == iota_nc
+
+        def pick(col0):
+            return jnp.sum(jnp.where(selb, rrows[:, col0 : col0 + NC], 0.0), axis=1)
+
+        best_tx = pick(0)
+        best_ty = pick(NC)
+        best_tz = pick(2 * NC)
+        feats = tuple(pick(WA + f * NC) for f in range(F))
 
         rf = tuple(rflat_ref[k] for k in range(9))
-        C = linearize_and_reduce(q, p, wq, best_tx, best_ty, best_tz, feats, rf)
-        stats_ref[0, :] = jnp.concatenate(
-            [C.reshape(64), jnp.zeros((64,), jnp.float32)]
+        C = linearize_and_reduce(q, p, wq, best_tx, best_ty, best_tz, feats, rf, a_buf)
+        # outputs padded to Mosaic-tileable (8, 128) / (8, TQ) blocks
+        stats_ref[0, :, :] = jnp.pad(C, ((0, 0), (0, 120)))
+        unres_ref[0, :, :] = jnp.broadcast_to(
+            unresolved.astype(jnp.int32)[None, :], (8, TQ)
         )
-        unres_ref[0, :] = unresolved.astype(jnp.int32)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("spec", "interpret"))
-def fused_stats_call(spec: FusedSpec, tabA, tabB, q, p, w, rflat, *, interpret=False):
+def fused_stats_call(spec: FusedSpec, tab, q, p, w, rflat, *, interpret=False):
     """Run the fused kernel over Morton-ordered queries.
 
     ``q``/``p``/``w`` must already be in Morton order (see
@@ -389,21 +519,29 @@ def fused_stats_call(spec: FusedSpec, tabA, tabB, q, p, w, rflat, *, interpret=F
 
     bx, by, bz = spec.block
     nbx, nby, nbz = spec.nb_dims
-    RX, RY, RZ = spec.region
+    RX, RY = spec.region[0], spec.region[1]
+    nbz8 = spec.nbz8
     cell = jnp.floor(q * np.float32(1.0 / spec.cell)).astype(jnp.int32)
     relc = cell - jnp.asarray(spec.origin_cell, jnp.int32)
     lo_b = jnp.floor_divide(relc - spec.radius, jnp.asarray([bx, by, bz], jnp.int32))
+    # band-padding slots (w = 0) must not drag the per-tile min down
+    lo_b = jnp.where((w > 0)[:, None], lo_b, jnp.int32(1 << 30))
     per_tile = lo_b.reshape(n_tiles, TQ, 3)
     origins = jnp.clip(
         jnp.min(per_tile, axis=1),
         0,
-        jnp.asarray([nbx - RX, nby - RY, nbz - RZ], jnp.int32),
-    )  # (n_tiles, 3) x, y, z
+        jnp.asarray([nbx - RX, nby - RY, 0], jnp.int32),
+    )  # (n_tiles, 3) x, y, (z unused: region z is the full padded extent)
 
     F = spec.feat_dim
-    WB = max(F * spec.ncand, 1)
-    if tabB is None:
-        tabB = jnp.zeros((1, 1, 1, WB), jnp.float32)
+    WT = padded_row_width(3 * spec.ncand) + (
+        padded_row_width(F * spec.ncand) if F else 0
+    )
+    if tab.shape[-1] != WT:
+        raise ValueError(
+            f"table row width {tab.shape[-1]} does not match spec (expected {WT})"
+        )
+    tab = tab.reshape(nby, nbz8, nbx * WT)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -412,31 +550,30 @@ def fused_stats_call(spec: FusedSpec, tabA, tabB, q, p, w, rflat, *, interpret=F
             pl.BlockSpec((TQ, 3), lambda i, *_: (i, 0)),
             pl.BlockSpec((TQ, 3), lambda i, *_: (i, 0)),
             pl.BlockSpec((TQ, 1), lambda i, *_: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 128), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, TQ), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 8, TQ), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((RZ, RY, RX, 3 * spec.ncand), jnp.float32),
-            pltpu.VMEM((RZ, RY, RX, WB), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, RY, nbz8, RX * WT), jnp.float32),
+            pltpu.VMEM((8, TQ), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     stats, unres = pl.pallas_call(
         _make_kernel(spec),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, TQ), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 8, TQ), jnp.int32),
         ],
         interpret=interpret,
-    )(origins, rflat, q, p, w[:, None], tabA, tabB)
-    C = jnp.sum(stats, axis=0)[:64].reshape(8, 8)
-    return C, unres.reshape(n_pad)[:n] > 0
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(origins, rflat, q, p, w[:, None], tab)
+    C = jnp.sum(stats, axis=0)[:, :8]
+    return C, unres[:, 0, :].reshape(n_pad)[:n] > 0
 
 
 def voxel_fused_spec(vm, kind: str, max_dist: float, huber_delta: float | None = None,
@@ -452,8 +589,9 @@ def voxel_fused_spec(vm, kind: str, max_dist: float, huber_delta: float | None =
 
     if vm.dense_blocks is None:
         return None
-    if kind in ("plane", "ndt") and vm.rich_blocks is None:
-        return None
+    feat_w = {"plane": 3 * 32, "ndt": 6 * 32}.get(kind, 0)
+    if vm.dense_blocks.shape[-1] < 128 + padded_row_width(feat_w) * (1 if feat_w else 0):
+        return None  # table was built without the rich feature columns
     nb = tuple(int(x) for x in np.asarray(jax.device_get(vm.nb_dims)))
     origin = tuple(int(x) for x in np.asarray(jax.device_get(vm.grid.origin_cell)))
     cell = float(jax.device_get(vm.grid.cell_size))
@@ -478,7 +616,7 @@ def voxel_fused_spec(vm, kind: str, max_dist: float, huber_delta: float | None =
         return None  # window wider than the whole block grid etc.
 
 
-def planar_window_query(spec: FusedSpec, tabA, tabB, q):
+def planar_window_query(spec: FusedSpec, tab, q):
     """Exact full-window query via XLA row gathers — the fused kernel's
     fallback for region-clamped stragglers (compacted subsets only; this is
     the gather-bound path the kernel exists to avoid).
@@ -488,10 +626,12 @@ def planar_window_query(spec: FusedSpec, tabA, tabB, q):
     """
     NC = spec.ncand
     nbx, nby, nbz = spec.nb_dims
+    nbz8 = spec.nbz8
     bx, by, bz = spec.block
     ox0, oy0, oz0 = spec.origin_cell
     m = q.shape[0]
-    flatA = tabA.reshape(-1, 3 * NC)
+    WA = padded_row_width(3 * NC)
+    flat = tab.reshape(-1, tab.shape[-1])
     inv_cell = np.float32(1.0 / spec.cell)
     cellx = jnp.floor(q[:, 0] * inv_cell).astype(jnp.int32)
     celly = jnp.floor(q[:, 1] * inv_cell).astype(jnp.int32)
@@ -510,11 +650,11 @@ def planar_window_query(spec: FusedSpec, tabA, tabB, q):
         gy = loy + dy_
         gz = loz + dz_
         ok = (gx >= 0) & (gx < nbx) & (gy >= 0) & (gy < nby) & (gz >= 0) & (gz < nbz)
-        row = jnp.where(ok, (gz * nby + gy) * nbx + gx, 0)
-        rows = flatA[row]  # (M, 3*NC)
+        row = jnp.where(ok, (gy * nbz8 + gz) * nbx + gx, 0)
+        rows = flat[row]  # (M, row_w)
         cx = rows[:, 0:NC]
         cy = rows[:, NC : 2 * NC]
-        cz = rows[:, 2 * NC :]
+        cz = rows[:, 2 * NC : 3 * NC]
         d2 = (q[:, 0:1] - cx) ** 2 + (q[:, 1:2] - cy) ** 2 + (q[:, 2:3] - cz) ** 2
         d2 = jnp.where(ok[:, None], d2, _MISS_D2)
         dmin = jnp.min(d2, axis=1)
@@ -535,13 +675,12 @@ def planar_window_query(spec: FusedSpec, tabA, tabB, q):
         best_slot = jnp.where(better, slot, best_slot)
 
     F = spec.feat_dim
-    if F and tabB is not None:
-        flatB = tabB.reshape(-1, F * NC)
-        rrows = flatB[best_row]
+    if F:
+        rrows = flat[best_row]
         selb = best_slot[:, None] == iota_nc
         feats = jnp.stack(
             [
-                jnp.sum(jnp.where(selb, rrows[:, f * NC : (f + 1) * NC], 0.0), axis=1)
+                jnp.sum(jnp.where(selb, rrows[:, WA + f * NC : WA + (f + 1) * NC], 0.0), axis=1)
                 for f in range(F)
             ],
             axis=-1,

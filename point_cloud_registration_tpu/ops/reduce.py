@@ -158,6 +158,50 @@ def ndt_stats(
     )
 
 
+def whitened_stats(
+    source: jax.Array,
+    src_trans: jax.Array,
+    means: jax.Array,
+    u6: jax.Array,
+    weights: jax.Array,
+    R: jax.Array,
+    huber_delta: float | None = None,
+) -> GNStats:
+    """Mahalanobis form via upper-triangular square roots ``U^T U = icov``.
+
+    Algebraically identical to :func:`ndt_stats` (``J~ = U J``, ``r~ = U d``
+    gives ``H = sum w J^T icov J`` etc.) but parameterized by the packed
+    ``[u00, u01, u02, u11, u12, u22]`` features the fused kernel's rich
+    table carries — used by its XLA fallback path.
+    """
+    d = src_trans - means  # (N, 3)
+    U = jnp.zeros((u6.shape[0], 3, 3), u6.dtype)
+    U = U.at[:, 0, 0].set(u6[:, 0]).at[:, 0, 1].set(u6[:, 1]).at[:, 0, 2].set(u6[:, 2])
+    U = U.at[:, 1, 1].set(u6[:, 3]).at[:, 1, 2].set(u6[:, 4]).at[:, 2, 2].set(u6[:, 5])
+    rt = jnp.einsum("nij,nj->ni", U, d, precision=_HI)  # whitened residual
+    if huber_delta is not None:
+        weights = weights * huber_weight(
+            jnp.sqrt(jnp.maximum(jnp.sum(rt * rt, axis=-1), 0.0)), huber_delta
+        )
+    # J = [I | -R skew(p)]; J~ = U J  -> (N, 3, 6)
+    Sp = jnp.stack(
+        [
+            jnp.stack([jnp.zeros_like(source[:, 0]), -source[:, 2], source[:, 1]], axis=-1),
+            jnp.stack([source[:, 2], jnp.zeros_like(source[:, 0]), -source[:, 0]], axis=-1),
+            jnp.stack([-source[:, 1], source[:, 0], jnp.zeros_like(source[:, 0])], axis=-1),
+        ],
+        axis=-2,
+    )
+    K = -jnp.einsum("ij,njk->nik", R, Sp, precision=_HI)
+    Jt = jnp.concatenate(
+        [U, jnp.einsum("nij,njk->nik", U, K, precision=_HI)], axis=-1
+    )  # (N, 3, 6)
+    H = jnp.einsum("nmi,nmj,n->ij", Jt, Jt, weights, precision=_HI)
+    g = jnp.einsum("nmi,nm,n->i", Jt, rt, weights, precision=_HI)
+    e2 = jnp.einsum("nm,nm,n->", rt, rt, weights, precision=_HI)
+    return GNStats(H=H, g=g, e2=e2, n_inliers=jnp.sum(weights))
+
+
 def reduce_H_g_e2(Js: jax.Array, rs: jax.Array, weights: jax.Array):
     """Generic weighted reducer for explicit (N, m, 6) Jacobians.
 

@@ -41,7 +41,7 @@ from point_cloud_registration_tpu.ops.knn import (
     DENSE_BLOCK,
     NNResult,
     build_dense_blocks,
-    build_rich_blocks,
+    dense_blocks_from_dense,
     nearest_voxel,
     nearest_voxel_blocks,
 )
@@ -61,11 +61,11 @@ class VoxelMap(NamedTuple):
     counts: jax.Array  # (C,) i32
     valid: jax.Array  # (C,) bool — counts >= min_points
     icovs: jax.Array | None  # (C, 6) f32 — present after with_icov builds (NDT)
-    dense_blocks: jax.Array | None  # (nbz, nby, nbx, 96) planar centroid table
+    # planar blocked table (nby, nbz8, nbx, row_w): centroids in the first
+    # 128 columns; when built with ``rich=...`` the per-cell features the
+    # fused Pallas kernel consumes (normals / sqrt icovs) follow at col 128
+    dense_blocks: jax.Array | None
     nb_dims: jax.Array | None  # (3,) i32 — block-grid dims
-    # planar per-cell feature table for the fused Pallas kernel: normals
-    # (plane kinds, width 96) or sqrt inverse covariances (NDT, width 192)
-    rich_blocks: jax.Array | None = None
 
     @property
     def num_voxels(self) -> jax.Array:
@@ -97,6 +97,86 @@ def _segment_stats(points, inverse, capacity, corner):
     corner_per_slot = jnp.zeros((capacity, 3), jnp.float32).at[inverse].set(corner)
     means = means_local + corner_per_slot
     return counts, means, covs
+
+
+
+_SEG_CH = 512  # sorted-chunk length for the MXU segment-sum build
+
+
+def _segment_acc(key, vals, d_total: int):
+    """Segment-sum ``vals`` by ``key`` into a dense (d_total, W) table.
+
+    TPU scatter-add is row-bound (~100 ns/row: a (1.2M, 10) scatter costs
+    ~125 ms on v5e), so the accumulation is re-expressed as sort + chunked
+    segment reduction: keys are sorted (TPU sort: ~1 ms/M), each 512-row
+    chunk's per-key sums come from a batched equality one-hot matmul on the
+    MXU, a tiny associative scan over chunk summaries carries segments that
+    span chunks, and only the ~segment-count rows are scattered (column-wise
+    — narrow scatters vectorize, wide ones do not). Falls back to the plain
+    scatter-add when the segment count exceeds the compaction capacity
+    (pathological: more occupied cells than N/4).
+
+    ``key`` must already route out-of-range points to ``d_total`` (dropped).
+    Returns acc identical (to f32 rounding) to
+    ``zeros((d_total, W)).at[key].add(vals, mode="drop")``.
+    """
+    n, width = vals.shape
+    order = jnp.argsort(key).astype(jnp.int32)
+    skey = key[order]
+    svals = vals[order]
+    nch = -(-n // _SEG_CH)
+    npad = nch * _SEG_CH
+    cap = min(max(n // 4, 65536), npad)
+    skey_p = jnp.concatenate(
+        [skey, jnp.full((npad - n,), d_total + 1, jnp.int32)]
+    )
+    vals_p = jnp.concatenate([svals, jnp.zeros((npad - n, width), jnp.float32)])
+    kc = skey_p.reshape(nch, _SEG_CH)
+    vc = vals_p.reshape(nch, _SEG_CH, width)
+    # every position's full-chunk key-sum, via batched equality matmul (MXU)
+    eq = (kc[:, :, None] == kc[:, None, :]).astype(jnp.float32)
+    S = jnp.einsum("cij,cjf->cif", eq, vc, precision=jax.lax.Precision.HIGHEST)
+    # chunk summaries + associative scan carry segments across chunk borders
+    last_key = kc[:, -1]
+    first_key = kc[:, 0]
+    suffix = jnp.sum(jnp.where((kc == last_key[:, None])[..., None], vc, 0.0), axis=1)
+    all_same = first_key == last_key
+
+    def comb(a, b):
+        a_first, a_last, a_suf, a_same = a
+        b_first, b_last, b_suf, b_same = b
+        cont = (a_last == b_first) & b_same
+        new_suf = b_suf + jnp.where(cont[..., None], a_suf, 0.0)
+        return (a_first, b_last, new_suf, a_same & b_same & (a_last == b_first))
+
+    sc = jax.lax.associative_scan(comb, (first_key, last_key, suffix, all_same))
+    prev_last = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sc[1][:-1]])
+    prev_suf = jnp.concatenate([jnp.zeros((1, width), jnp.float32), sc[2][:-1]])
+    carry = jnp.where((prev_last == first_key)[:, None], prev_suf, 0.0)
+    total = S + jnp.where(
+        (kc == first_key[:, None])[..., None], carry[:, None, :], 0.0
+    )
+    total = total.reshape(npad, width)
+    is_end = jnp.concatenate([skey_p[1:] != skey_p[:-1], jnp.ones((1,), bool)])
+    real_end = is_end & (skey_p < d_total)
+    n_seg = jnp.sum(real_end)
+
+    def compacted(_):
+        ends = jnp.nonzero(real_end, size=cap, fill_value=npad - 1)[0]
+        live = jnp.arange(cap) < n_seg
+        seg_keys = jnp.where(live, skey_p[ends], d_total)
+        seg_vals = total[ends]
+        acc = jnp.zeros((d_total, width), jnp.float32)
+        for col in range(width):
+            acc = acc.at[seg_keys, col].set(seg_vals[:, col], mode="drop")
+        return acc
+
+    def overflow(_):
+        return jnp.zeros((d_total, width), jnp.float32).at[key].add(
+            vals, mode="drop"
+        )
+
+    return jax.lax.cond(n_seg <= cap, compacted, overflow, 0)
 
 
 def invert_cov_packed(covs: jax.Array) -> jax.Array:
@@ -153,31 +233,41 @@ def build_voxel_map(
             with_normals=with_normals or with_icov,
         )
         grid = vm.grid
+        identity_slots = True
     else:
         grid, inverse, _ = build_grid(points, voxel_size, capacity=capacity)
         vm = _finish_voxel_map(
             points, grid, inverse, min_points=min_points, with_icov=with_icov
         )
         dims = tuple(int(x) for x in jax.device_get(grid.dims))
+        identity_slots = False
     if grid.dense is not None:
-        # blocked centroid table needs static block-grid dims (host ints)
+        # blocked table needs static block-grid dims (host ints)
         nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
-        blocks = _build_blocks_jit(grid, vm.means, vm.valid, nb)
-        vm = vm._replace(dense_blocks=blocks, nb_dims=jnp.asarray(nb, jnp.int32))
         if rich == "normals":
-            vm = vm._replace(rich_blocks=_build_rich_jit(grid, vm.normals, vm.valid, nb))
+            feats = vm.normals
         elif rich == "sqrt_icov":
             if vm.icovs is None:
                 raise ValueError("rich='sqrt_icov' requires with_icov=True")
-            u6 = sqrt_icov_u6(vm.icovs)
-            vm = vm._replace(rich_blocks=_build_rich_jit(grid, u6, vm.valid, nb))
-        elif rich is not None:
+            feats = sqrt_icov_u6(vm.icovs)
+        elif rich is None:
+            feats = None
+        else:
             raise ValueError(f"unknown rich kind {rich!r}")
+        if identity_slots:
+            # dense-direct: the table is a pure permutation of the per-cell
+            # arrays — one fused transpose copy, no row-bound scatters
+            blocks = _dense_blocks_jit(vm.means, vm.valid, dims, nb, feats)
+        else:
+            blocks = _build_blocks_jit(grid, vm.means, vm.valid, nb, feats)
+        vm = vm._replace(dense_blocks=blocks, nb_dims=jnp.asarray(nb, jnp.int32))
     return vm
 
 
 _build_blocks_jit = partial(jax.jit, static_argnames=("nb_dims_static",))(build_dense_blocks)
-_build_rich_jit = partial(jax.jit, static_argnames=("nb_dims_static",))(build_rich_blocks)
+_dense_blocks_jit = partial(jax.jit, static_argnames=("dims_static", "nb_dims_static"))(
+    dense_blocks_from_dense
+)
 
 
 @jax.jit
@@ -222,7 +312,7 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_p
             local[:, 2:3] * local[:, 2:3],  # zz
         ]
     vals = jnp.concatenate(parts, axis=-1)  # (N, 4 or 10)
-    acc = jnp.zeros((d_total, vals.shape[1]), jnp.float32).at[key].add(vals, mode="drop")
+    acc = _segment_acc(key, vals, d_total)
     counts_f = acc[:, 0]
     counts = counts_f.astype(jnp.int32)
     safe_n = jnp.maximum(counts_f, 1.0)
@@ -258,11 +348,14 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_p
 
     valid = counts >= min_points
     if with_normals:
-        # Normals only for cells that can be valid: at most N // min_points slots.
-        vc = int(min(d_total, max(points.shape[0] // max(min_points, 1), 1)))
-        vidx = jnp.nonzero(valid, size=vc, fill_value=d_total - 1)[0]
-        nrm_sub = smallest_eigvec_sym3(covs[vidx])
-        normals = jnp.zeros((d_total, 3), jnp.float32).at[vidx].set(nrm_sub)
+        # Closed-form eigh on EVERY cell beats compacting to the valid
+        # subset: the eigensolve is ~50 VPU flops/row, while the
+        # nonzero + gather + scatter of a subset pass is ~3 row-bound
+        # memory ops/row (~100 ns each) — vectorized-all is 10x cheaper
+        # at dense-direct occupancies.
+        normals = jnp.where(
+            valid[:, None], smallest_eigvec_sym3(covs), 0.0
+        )
     else:
         normals = jnp.zeros((d_total, 3), jnp.float32)
     icovs = invert_cov_packed(covs) if with_icov else None
@@ -383,6 +476,11 @@ def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10) -> VoxelMap
     """
     if vm.grid.dense is None:
         raise NotImplementedError("update_voxel_map requires a dense-direct map")
+    dims_t = tuple(int(x) for x in jax.device_get(vm.grid.dims))
+    if vm.means.shape[0] != int(np.prod(dims_t)):
+        # capacity-built grid with a dense *lookup* table: slots are not
+        # linear cell keys, so the dense merge arithmetic does not apply
+        raise NotImplementedError("update_voxel_map requires slot == cell key")
     new_points = jnp.asarray(new_points, dtype=jnp.float32)
     with_icov = vm.icovs is not None
     nb_dims = tuple(int(x) for x in jax.device_get(vm.nb_dims)) if vm.nb_dims is not None else None
@@ -390,7 +488,15 @@ def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10) -> VoxelMap
     if nb_dims is not None:
         dims = tuple(int(x) for x in jax.device_get(vm.grid.dims))
         nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
-        blocks = _build_blocks_jit(vm2.grid, vm2.means, vm2.valid, nb)
+        # regenerate features when the old table carried them (width > 128:
+        # 256 = planar normals, 384 = sqrt icov)
+        if vm.dense_blocks.shape[-1] >= 384:
+            feats = sqrt_icov_u6(vm2.icovs)
+        elif vm.dense_blocks.shape[-1] >= 256:
+            feats = vm2.normals
+        else:
+            feats = None
+        blocks = _dense_blocks_jit(vm2.means, vm2.valid, dims, nb, feats)
         vm2 = vm2._replace(dense_blocks=blocks, nb_dims=jnp.asarray(nb, jnp.int32))
     return vm2
 
