@@ -156,8 +156,14 @@ class PointMatch(NamedTuple):
 
 
 def match_points(target: PointCorrTarget, query: jax.Array, corr: CorrespondenceConfig,
-                 max_dist: float) -> PointMatch:
-    """Gated nearest-target lookup for transformed source points."""
+                 max_dist: float, fixed_tiers: bool = False) -> PointMatch:
+    """Gated nearest-target lookup for transformed source points.
+
+    ``fixed_tiers`` replaces the data-dependent ``lax.switch`` proxy tiering
+    with an unconditional compacted pass — for vmapped/batched execution,
+    where ``switch`` under ``vmap`` executes every branch per element anyway
+    (same rationale as ops/knn.nearest_voxel_blocks's flag).
+    """
     n = query.shape[0]
     if target.packed is None:
         cell = corr.cell_size if corr.cell_size is not None else max_dist / 2
@@ -204,8 +210,14 @@ def match_points(target: PointCorrTarget, query: jax.Array, corr: Correspondence
         )
         return jnp.where(mask, nn.dist, _BIG), jnp.where(mask, nn.idx, -1)
 
-    tier = (n_unres > 0).astype(jnp.int32) + (n_unres > cap).astype(jnp.int32)
-    proxy_d, proxy_slot = jax.lax.switch(tier, [tier0, tier2, tier3], 0)
+    if fixed_tiers:
+        # vmapped contexts pay every switch branch anyway; run the compacted
+        # pass unconditionally (>cap overflow leaves the stragglers on the
+        # tier-1 result, which only affects pathological first iterations)
+        proxy_d, proxy_slot = tier2(0)
+    else:
+        tier = (n_unres > 0).astype(jnp.int32) + (n_unres > cap).astype(jnp.int32)
+        proxy_d, proxy_slot = jax.lax.switch(tier, [tier0, tier2, tier3], 0)
 
     use_raw = t1.resolved
     dist = jnp.where(use_raw, t1.dist, proxy_d)

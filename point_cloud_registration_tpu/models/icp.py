@@ -45,7 +45,8 @@ def icp_stats(target: ICPTarget, source, src_weight, T, cfg: ICPConfig) -> GNSta
     (fuses icp.py:32-56)."""
     R, _ = makeRt(T)
     src_trans = transform_points(T, source)
-    m = match_points(target, src_trans, cfg.corr, cfg.max_dist)
+    m = match_points(target, src_trans, cfg.corr, cfg.max_dist,
+                     fixed_tiers=cfg.fixed_tiers)
     w = src_weight * m.weight
     return point_stats(source, src_trans, m.target, w, R, huber_delta=cfg.huber_delta)
 

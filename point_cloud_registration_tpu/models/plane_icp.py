@@ -63,7 +63,8 @@ def plane_icp_stats(
     """
     R, _ = makeRt(T)
     src_trans = transform_points(T, source)
-    m = match_points(target.corr, src_trans, cfg.corr, cfg.max_dist)
+    m = match_points(target.corr, src_trans, cfg.corr, cfg.max_dist,
+                     fixed_tiers=cfg.fixed_tiers)
     w = src_weight * m.weight
     safe_raw = jnp.clip(m.point_idx, 0, target.normals.shape[0] - 1)
     if target.corr.proxy is not None:

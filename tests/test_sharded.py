@@ -10,11 +10,20 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from point_cloud_registration_tpu.core.config import VPlaneICPConfig, ICPConfig
+from point_cloud_registration_tpu.core.config import (
+    ICPConfig,
+    NDTConfig,
+    PlaneICPConfig,
+    VPlaneICPConfig,
+)
 from point_cloud_registration_tpu.models import (
     build_icp_target,
+    build_ndt_target,
+    build_plane_icp_target,
     build_vplane_target,
     icp_align,
+    ndt_align,
+    plane_icp_align,
     vplane_align,
 )
 from point_cloud_registration_tpu.models.base import pad_points
@@ -57,19 +66,67 @@ def test_data_sharded_align_matches_single_chip(problem):
     )
 
 
-def test_data_sharded_icp(problem):
+# every solver family: (kind, config, target builder, single-chip align)
+SOLVERS = {
+    "icp": (ICPConfig(max_iter=10, max_dist=2.0, tol=1e-3), build_icp_target, icp_align),
+    "plane_icp": (
+        PlaneICPConfig(max_iter=10, max_dist=2.0, tol=1e-3),
+        build_plane_icp_target,
+        plane_icp_align,
+    ),
+    "vplane_icp": (
+        VPlaneICPConfig(voxel_size=1.0, max_iter=10, max_dist=2.0, tol=1e-3),
+        build_vplane_target,
+        vplane_align,
+    ),
+    "ndt": (
+        NDTConfig(voxel_size=1.0, max_iter=10, max_dist=2.0, tol=1e-3),
+        build_ndt_target,
+        ndt_align,
+    ),
+}
+
+
+@pytest.mark.parametrize("kind", list(SOLVERS))
+def test_data_sharded_all_solvers(problem, kind):
     scene, scan, _ = problem
-    cfg = ICPConfig(max_iter=10, max_dist=2.0, tol=1e-3)
-    target = build_icp_target(scene, cfg)
+    cfg, build, align = SOLVERS[kind]
+    target = build(scene, cfg)
     src, w = pad_points(scan)
     T0 = jnp.eye(4, dtype=jnp.float32)
-    single = icp_align(target, src, w, T0, cfg)
+    single = align(target, src, w, T0, cfg)
     mesh = make_mesh(batch=1, data=8)
-    sharded = align_sharded("icp", target, src, w, T0, cfg, mesh)
+    sharded = align_sharded(kind, target, src, w, T0, cfg, mesh)
     np.testing.assert_allclose(
         np.asarray(jax.device_get(sharded.T)),
         np.asarray(jax.device_get(single.T)),
         atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("kind", list(SOLVERS))
+def test_batched_sharded_all_solvers(problem, kind):
+    """Every solver runs batched (vmap over problems, fixed tiers forced) and
+    problem 0 reproduces the single-chip result (VERDICT round-1 item 6)."""
+    scene, scan, _ = problem
+    cfg, build, align = SOLVERS[kind]
+    target = build(scene, cfg)
+    src, w = pad_points(scan)
+    mesh = make_mesh(batch=2, data=4)
+    B = 2
+    sources = jnp.broadcast_to(src, (B,) + src.shape)
+    weights = jnp.broadcast_to(w, (B,) + w.shape)
+    init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+    out = align_batched_sharded(kind, target, sources, weights, init_Ts, cfg, mesh)
+    single = align(target, src, w, jnp.eye(4, dtype=jnp.float32), cfg)
+    # fixed-tier proxy resolution can pick a different (equally gated) far
+    # correspondence on early iterations for the raw-point solvers; the
+    # converged transform is what the contract guarantees
+    tol = 1e-5 if kind in ("vplane_icp", "ndt") else 1e-4
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(out.T))[0],
+        np.asarray(jax.device_get(single.T)),
+        atol=tol,
     )
 
 
