@@ -1,0 +1,102 @@
+"""Map sharding: voxel slabs distributed over the mesh's ``model`` axis.
+
+SURVEY §2.3 TP row / BASELINE north star ("sharding scan points and map
+voxel blocks"). The sharded map must reproduce the replicated-map align
+exactly, and per-device map bytes must shrink ~linearly with shard count
+(the beyond-HBM capacity contract).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_cloud_registration_tpu.core.config import NDTConfig, VPlaneICPConfig
+from point_cloud_registration_tpu.models import (
+    build_ndt_target,
+    build_vplane_target,
+    ndt_align,
+    vplane_align,
+)
+from point_cloud_registration_tpu.models.base import pad_points
+from point_cloud_registration_tpu.parallel import (
+    align_map_sharded,
+    make_map_mesh,
+    shard_voxel_map,
+)
+from oracles import make_scan, make_scene
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.RandomState(7)
+    scene = make_scene(rng)
+    scan, T_true = make_scan(
+        rng, scene, np.array([0.05, -0.03, 0.1, 0.01, -0.01, 0.015])
+    )
+    return scene, scan, T_true
+
+
+@pytest.mark.parametrize("kind", ["vplane_icp", "ndt"])
+def test_map_sharded_matches_replicated(problem, kind):
+    scene, scan, _ = problem
+    if kind == "vplane_icp":
+        cfg = VPlaneICPConfig(voxel_size=1.0, max_iter=30, max_dist=2.0, tol=1e-3,
+                              backend="xla")
+        single = vplane_align(build_vplane_target(scene, cfg), *_args(scan), cfg)
+    else:
+        cfg = NDTConfig(voxel_size=1.0, max_iter=30, max_dist=2.0, tol=1e-3,
+                        backend="xla")
+        single = ndt_align(build_ndt_target(scene, cfg), *_args(scan), cfg)
+
+    svm, meta = shard_voxel_map(
+        scene, 1.0, n_shards=4, min_points=cfg.min_points,
+        with_icov=(kind == "ndt"),
+    )
+    mesh = make_map_mesh(model=4, data=2)
+    src, w = pad_points(scan)
+    out = align_map_sharded(
+        kind, svm, meta, src, w, jnp.eye(4, dtype=jnp.float32), cfg, mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(out.T)),
+        np.asarray(jax.device_get(single.T)),
+        atol=1e-5,
+    )
+    assert int(jax.device_get(out.diagnostics.iterations)) == int(
+        jax.device_get(single.diagnostics.iterations)
+    )
+
+
+def _args(scan):
+    src, w = pad_points(scan)
+    return src, w, jnp.eye(4, dtype=jnp.float32)
+
+
+def test_map_shard_capacity_scales():
+    """Per-device bytes shrink ~linearly with shard count: the capacity
+    contract that lets a map exceed one device's HBM. Uses a z-extended
+    cloud — a flat scene's blocked-table z padding would mask the scaling."""
+    rng = np.random.RandomState(11)
+    scene = (rng.rand(60000, 3) * np.array([30.0, 30.0, 64.0])).astype(np.float32)
+    svm1, _ = shard_voxel_map(scene, 1.0, n_shards=1)
+    svm4, _ = shard_voxel_map(scene, 1.0, n_shards=4)
+
+    def slab_bytes(svm):
+        return sum(
+            a.nbytes // a.shape[0]
+            for a in jax.tree.leaves(svm)
+        )
+
+    b1, b4 = slab_bytes(svm1), slab_bytes(svm4)
+    assert b4 <= b1 / 2.5, (b1, b4)  # blocked-table z padding costs a bit
+
+
+def test_map_sharded_rejects_point_kinds(problem):
+    scene, scan, _ = problem
+    svm, meta = shard_voxel_map(scene, 1.0, n_shards=4)
+    cfg = VPlaneICPConfig(voxel_size=1.0)
+    mesh = make_map_mesh(model=4, data=2)
+    src, w = pad_points(scan)
+    with pytest.raises(ValueError, match="voxel-map kinds"):
+        align_map_sharded("icp", svm, meta, src, w, jnp.eye(4), cfg, mesh)
