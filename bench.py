@@ -110,6 +110,111 @@ def timed(fn, warmup=1, reps=3):
     return min(times)
 
 
+V5E_HBM_GBS = 819.0  # v5e HBM peak, GB/s
+V5E_MXU_F32_TFLOPS = 197.0 / 6  # bf16 peak / 6 passes for exact-f32 HIGHEST
+
+
+def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
+    """Measured wall vs modeled traffic/FLOPs for the two hot phases.
+
+    * ``build``: set_target (voxel stats + blocked table). Traffic model:
+      read the points for keying + sorted segment reduction (~4 logical
+      passes over the (N, 10) moment rows incl. the sort), write/read the
+      per-cell arrays (counts/means/covs/normals ~ 23 f32/cell x 2), write
+      the blocked table once.
+    * ``align_iter``: one fused-kernel Gauss-Newton iteration (amortized
+      over an on-device loop — strips the ~25 ms tunnel dispatch floor).
+      Traffic: query tiles + one region DMA per tile + stats rows out.
+      FLOPs: per-probe one-hot gather matmuls + the final merged-row gather
+      + the 8x8 linearize reduction.
+    """
+    import time as _time
+
+    from point_cloud_registration_tpu.core.config import VPlaneICPConfig
+    from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
+    from point_cloud_registration_tpu.ops.pallas.fused_align import (
+        band_layout,
+        fused_stats_call,
+        scatter_banded,
+        voxel_fused_spec,
+    )
+    from point_cloud_registration_tpu.ops.voxelize import build_voxel_map
+
+    def best(f, reps=3):
+        f()
+        ts = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(f())
+            ts.append(_time.perf_counter() - t0)
+        return min(ts)
+
+    n = int(map_pts.shape[0])
+    t_build = best(lambda: build_voxel_map(map_pts, voxel_size, min_points=10, rich="normals"))
+    vm = build_voxel_map(map_pts, voxel_size, min_points=10, rich="normals")
+    d_total = int(vm.means.shape[0])
+    table_bytes = int(np.prod(vm.dense_blocks.shape)) * 4
+    build_bytes = n * 40 * 4 + d_total * 23 * 4 * 2 + table_bytes
+    out = {
+        "build_s": round(t_build, 4),
+        "build_gbs": round(build_bytes / t_build / 1e9, 1),
+        "build_hbm_pct": round(100 * build_bytes / t_build / 1e9 / V5E_HBM_GBS, 1),
+    }
+
+    spec = voxel_fused_spec(vm, "plane", max_dist=max_dist)
+    if spec is None:
+        return out
+    I4 = jnp.eye(4, dtype=jnp.float32)
+    R, _ = makeRt(I4)
+    rflat = R.reshape(9)
+    q0 = transform_points(I4, scan)
+    w = jnp.ones((scan.shape[0],), jnp.float32)
+    pos = band_layout(spec, q0)
+    q_s, p_s, w_s = scatter_banded(spec, pos, q0, scan, w)
+    REP = 20
+
+    @jax.jit
+    def loop_kernel():
+        def body(i, acc):
+            C, _ = fused_stats_call(
+                spec, vm.dense_blocks, q_s + acc * 0, p_s, w_s, rflat
+            )
+            return acc + C[0, 0] * 1e-20
+        return jax.lax.fori_loop(0, REP, body, 0.0)
+
+    t_iter = best(lambda: loop_kernel()) / REP
+    n_pad = q_s.shape[0]
+    n_tiles = n_pad // spec.tq
+    RX, RY = spec.region[0], spec.region[1]
+    WT = vm.dense_blocks.shape[-1]
+    WA = 128
+    NR = RY * spec.nbz8 * RX
+    iter_bytes = (
+        n_pad * 7 * 4  # q, p, w tiles in
+        + n_tiles * RY * spec.nbz8 * RX * WT * 4  # region DMA
+        + n_tiles * (8 * 128 + 8 * spec.tq) * 4  # stats + unresolved out
+    )
+    iter_flops = n_tiles * (
+        len(spec.probes) * spec.tq * NR * WA * 2  # probe one-hot gathers
+        + spec.tq * NR * WT * 2  # winner merged-row gather
+        + spec.m_rows * 8 * spec.tq * 8 * 2  # linearize reduction
+    )
+    out.update(
+        {
+            "align_iter_ms": round(t_iter * 1e3, 2),
+            "align_iter_gbs": round(iter_bytes / t_iter / 1e9, 1),
+            "align_iter_hbm_pct": round(
+                100 * iter_bytes / t_iter / 1e9 / V5E_HBM_GBS, 1
+            ),
+            "align_iter_tflops": round(iter_flops / t_iter / 1e12, 2),
+            "align_iter_mxu_pct": round(
+                100 * iter_flops / t_iter / 1e12 / V5E_MXU_F32_TFLOPS, 1
+            ),
+        }
+    )
+    return out
+
+
 def main():
     import jax
 
@@ -190,6 +295,17 @@ def main():
     results["plane_icp"] = (t_picp, 0.334)
     log(f"PlaneICP set_target+align (excl. normals): {t_picp:.3f}s (ref 0.334s)")
 
+    # voxel_filter on the full map (reference speed_test_comparison.py:174-182;
+    # the reference does not publish this number, so no vs_baseline)
+    def run_vfilter():
+        out = pcr.voxel_filter(map_pts, voxel_size)
+        jax.block_until_ready(out)
+        return out
+
+    t_vf = timed(run_vfilter)
+    results["voxel_filter"] = (t_vf, float("nan"))
+    log(f"voxel_filter 1.2M pts: {t_vf:.3f}s")
+
     # Batched multi-scan registration throughput (SLAM front-end axis,
     # BASELINE.json configs[4]): B scans aligned against one prebuilt map in
     # a single batched program (vmap inside shard_map over a 1-chip mesh).
@@ -223,20 +339,31 @@ def main():
     except Exception as e:  # keep the headline metric robust
         log("batched bench failed:", repr(e))
 
+    # Roofline / utilization (BASELINE north star "kernels at speed-of-light";
+    # VERDICT r1 item 5): measured per-phase wall vs modeled HBM bytes and
+    # MXU FLOPs, against v5e peaks (819 GB/s HBM; ~197 TFLOP/s bf16 MXU, /6
+    # for the exact-f32 six-pass HIGHEST mode the one-hot gathers use).
+    roofline = {}
+    try:
+        roofline = roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist)
+        for k, v in roofline.items():
+            log(f"  roofline {k}: {v}")
+    except Exception as e:
+        log("roofline failed:", repr(e))
+
     for k, (t, ref) in results.items():
         log(f"  {k:12s} {t:7.3f}s  vs_baseline x{ref / t:.2f}")
 
     t, ref = results["vplane_icp"]
-    print(
-        json.dumps(
-            {
-                "metric": "vplane_icp_1.2Mmap_100kscan_settarget_align_wall_clock",
-                "value": round(t, 4),
-                "unit": "s",
-                "vs_baseline": round(ref / t, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "vplane_icp_1.2Mmap_100kscan_settarget_align_wall_clock",
+        "value": round(t, 4),
+        "unit": "s",
+        "vs_baseline": round(ref / t, 3),
+    }
+    if roofline:
+        payload["roofline"] = roofline
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

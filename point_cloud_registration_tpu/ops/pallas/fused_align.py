@@ -83,6 +83,18 @@ class FusedSpec:
     # one-hot gather matmul precision: "highest" is exact f32; "default"
     # truncates coordinates to bf16 in the MXU (perf experiments only)
     gather_precision: str = "highest"
+    # unroll the probe loop (Python loop instead of fori_loop): Mosaic can
+    # software-pipeline the unrolled probes, but every probe's buffers are
+    # live at once — only safe when TQ * NR one-hots fit the VMEM budget
+    unroll: bool = False
+    # table layout: "3d" = (nby, nbz8, nbx, row) blocks of DENSE_BLOCK cells;
+    # "zcol" = (nby, nbx, row) 2D block grid where each row holds the FULL z
+    # column of a (bx, by) footprint (block = (bx, by, nz)). zcol collapses
+    # the one-hot space from RY*nbz8*RX to RY*RX rows and eliminates
+    # z-probing entirely (the row is a z-superset of the window — a superset
+    # search is still the exact gated nearest); right for LiDAR-like maps
+    # whose z extent is tens of cells.
+    layout: str = "3d"
 
     @property
     def feat_dim(self) -> int:
@@ -94,8 +106,25 @@ class FusedSpec:
 
     @property
     def spans(self) -> tuple[int, int, int]:
-        return tuple(
+        sx, sy, sz = (
             (2 * self.radius + b - 1) // b + 1 for b in self.block
+        )
+        if self.layout == "zcol":
+            sz = 1  # the row already holds every z cell
+        return (sx, sy, sz)
+
+    @property
+    def cs(self) -> int:
+        """zcol component stride: candidate slots padded to the lane tiling
+        so each coordinate/feature group is a 128-aligned lane slice."""
+        return padded_row_width(self.ncand)
+
+    @property
+    def row_width(self) -> int:
+        if self.layout == "zcol":
+            return (3 + self.feat_dim) * self.cs
+        return padded_row_width(3 * self.ncand) + (
+            padded_row_width(self.feat_dim * self.ncand) if self.feat_dim else 0
         )
 
     @property
@@ -233,6 +262,97 @@ def scatter_banded(spec: FusedSpec, pos, q, p, w):
     return qp, pp, wp
 
 
+def _linearize_and_reduce(spec, q, p, wq, tx, ty, tz, feats, rf, a_buf):
+    """(8, 8) C block from per-query correspondences. ``rf`` = R flat.
+
+    Rows of the augmented design matrix ``[J | r | 1]`` are staged
+    through the ``a_buf`` VMEM scratch: Mosaic cannot concatenate
+    vectors whose producers left them at different sublane offsets, but
+    stores normalize layout."""
+    ones = jnp.ones_like(wq)
+    dx = q[:, 0] - tx
+    dy = q[:, 1] - ty
+    dz = q[:, 2] - tz
+    px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = rf
+
+    if spec.kind in ("plane", "plane_pt"):
+        nx, ny, nz = feats
+        rs = nx * dx + ny * dy + nz * dz
+        if spec.huber_delta is not None:
+            from point_cloud_registration_tpu.core.se3 import huber_weight
+
+            wq = wq * huber_weight(jnp.abs(rs), spec.huber_delta)
+        # R^T n
+        tnx = r00 * nx + r10 * ny + r20 * nz
+        tny = r01 * nx + r11 * ny + r21 * nz
+        tnz = r02 * nx + r12 * ny + r22 * nz
+        # skew(p) @ (R^T n) = p x (R^T n)  (plane_icp.py:51-54)
+        jrx = py * tnz - pz * tny
+        jry = pz * tnx - px * tnz
+        jrz = px * tny - py * tnx
+        for k, v in enumerate((nx, ny, nz, jrx, jry, jrz, rs, ones)):
+            a_buf[k, :] = v
+        a = a_buf[...]  # (8, TQ)
+        aw = a * wq[None, :]
+        return jax.lax.dot_general(
+            aw, a, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    # m = 3 kinds: J = [I | K], K = -R skew(p)  (icp.py:42-51, ndt.py:40)
+    k00 = r02 * py - r01 * pz
+    k01 = r00 * pz - r02 * px
+    k02 = r01 * px - r00 * py
+    k10 = r12 * py - r11 * pz
+    k11 = r10 * pz - r12 * px
+    k12 = r11 * px - r10 * py
+    k20 = r22 * py - r21 * pz
+    k21 = r20 * pz - r22 * px
+    k22 = r21 * px - r20 * py
+    zeros = jnp.zeros_like(wq)
+    if spec.kind == "ndt":
+        u00, u01, u02, u11, u12, u22 = feats  # U^T U = icov (upper tri)
+        urows = ((u00, u01, u02), (zeros, u11, u12), (zeros, zeros, u22))
+    else:  # point
+        u00 = u11 = u22 = ones
+        urows = ((ones, zeros, zeros), (zeros, ones, zeros), (zeros, zeros, ones))
+    krows = ((k00, k01, k02), (k10, k11, k12), (k20, k21, k22))
+    d3 = (dx, dy, dz)
+    if spec.huber_delta is not None:
+        from point_cloud_registration_tpu.core.se3 import huber_weight
+
+        # residual magnitude in the whitened metric (= |r| for point,
+        # Mahalanobis distance for ndt)
+        rn2 = zeros
+        for ur in urows:
+            rr = ur[0] * dx + ur[1] * dy + ur[2] * dz
+            rn2 = rn2 + rr * rr
+        wq = wq * huber_weight(jnp.sqrt(jnp.maximum(rn2, 0.0)), spec.huber_delta)
+    c = jnp.zeros((8, 8), jnp.float32)
+    for row in range(3):
+        ur = urows[row]
+        left = ur  # U[row, :] — the translation Jacobian block
+        right = tuple(
+            ur[0] * krows[0][j] + ur[1] * krows[1][j] + ur[2] * krows[2][j]
+            for j in range(3)
+        )
+        rres = ur[0] * d3[0] + ur[1] * d3[1] + ur[2] * d3[2]
+        # count each query's weight once (row 0 only) in C[7, 7]
+        last = ones if row == 0 else zeros
+        for k, v in enumerate(tuple(left) + tuple(right) + (rres, last)):
+            a_buf[k, :] = v
+        a = a_buf[...]
+        aw = a * wq[None, :]
+        c = c + jax.lax.dot_general(
+            aw, a, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return c
+
+
 def _make_kernel(spec: FusedSpec):
     TQ = spec.tq
     RX, RY = spec.region[0], spec.region[1]
@@ -251,96 +371,6 @@ def _make_kernel(spec: FusedSpec):
         if spec.gather_precision == "highest"
         else jax.lax.Precision.DEFAULT
     )
-
-    def linearize_and_reduce(q, p, wq, tx, ty, tz, feats, rf, a_buf):
-        """(8, 8) C block from per-query correspondences. ``rf`` = R flat.
-
-        Rows of the augmented design matrix ``[J | r | 1]`` are staged
-        through the ``a_buf`` VMEM scratch: Mosaic cannot concatenate
-        vectors whose producers left them at different sublane offsets, but
-        stores normalize layout."""
-        ones = jnp.ones_like(wq)
-        dx = q[:, 0] - tx
-        dy = q[:, 1] - ty
-        dz = q[:, 2] - tz
-        px, py, pz = p[:, 0], p[:, 1], p[:, 2]
-        r00, r01, r02, r10, r11, r12, r20, r21, r22 = rf
-
-        if spec.kind in ("plane", "plane_pt"):
-            nx, ny, nz = feats
-            rs = nx * dx + ny * dy + nz * dz
-            if spec.huber_delta is not None:
-                from point_cloud_registration_tpu.core.se3 import huber_weight
-
-                wq = wq * huber_weight(jnp.abs(rs), spec.huber_delta)
-            # R^T n
-            tnx = r00 * nx + r10 * ny + r20 * nz
-            tny = r01 * nx + r11 * ny + r21 * nz
-            tnz = r02 * nx + r12 * ny + r22 * nz
-            # skew(p) @ (R^T n) = p x (R^T n)  (plane_icp.py:51-54)
-            jrx = py * tnz - pz * tny
-            jry = pz * tnx - px * tnz
-            jrz = px * tny - py * tnx
-            for k, v in enumerate((nx, ny, nz, jrx, jry, jrz, rs, ones)):
-                a_buf[k, :] = v
-            a = a_buf[...]  # (8, TQ)
-            aw = a * wq[None, :]
-            return jax.lax.dot_general(
-                aw, a, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
-        # m = 3 kinds: J = [I | K], K = -R skew(p)  (icp.py:42-51, ndt.py:40)
-        k00 = r02 * py - r01 * pz
-        k01 = r00 * pz - r02 * px
-        k02 = r01 * px - r00 * py
-        k10 = r12 * py - r11 * pz
-        k11 = r10 * pz - r12 * px
-        k12 = r11 * px - r10 * py
-        k20 = r22 * py - r21 * pz
-        k21 = r20 * pz - r22 * px
-        k22 = r21 * px - r20 * py
-        zeros = jnp.zeros_like(wq)
-        if spec.kind == "ndt":
-            u00, u01, u02, u11, u12, u22 = feats  # U^T U = icov (upper tri)
-            urows = ((u00, u01, u02), (zeros, u11, u12), (zeros, zeros, u22))
-        else:  # point
-            u00 = u11 = u22 = ones
-            urows = ((ones, zeros, zeros), (zeros, ones, zeros), (zeros, zeros, ones))
-        krows = ((k00, k01, k02), (k10, k11, k12), (k20, k21, k22))
-        d3 = (dx, dy, dz)
-        if spec.huber_delta is not None:
-            from point_cloud_registration_tpu.core.se3 import huber_weight
-
-            # residual magnitude in the whitened metric (= |r| for point,
-            # Mahalanobis distance for ndt)
-            rn2 = zeros
-            for ur in urows:
-                rr = ur[0] * dx + ur[1] * dy + ur[2] * dz
-                rn2 = rn2 + rr * rr
-            wq = wq * huber_weight(jnp.sqrt(jnp.maximum(rn2, 0.0)), spec.huber_delta)
-        c = jnp.zeros((8, 8), jnp.float32)
-        for row in range(3):
-            ur = urows[row]
-            left = ur  # U[row, :] — the translation Jacobian block
-            right = tuple(
-                ur[0] * krows[0][j] + ur[1] * krows[1][j] + ur[2] * krows[2][j]
-                for j in range(3)
-            )
-            rres = ur[0] * d3[0] + ur[1] * d3[1] + ur[2] * d3[2]
-            # count each query's weight once (row 0 only) in C[7, 7]
-            last = ones if row == 0 else zeros
-            for k, v in enumerate(tuple(left) + tuple(right) + (rres, last)):
-                a_buf[k, :] = v
-            a = a_buf[...]
-            aw = a * wq[None, :]
-            c = c + jax.lax.dot_general(
-                aw, a, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        return c
 
     def kernel(orig_ref, rflat_ref, q_ref, p_ref, w_ref, tab,
                stats_ref, unres_ref, reg, a_buf, sem):
@@ -453,9 +483,15 @@ def _make_kernel(spec: FusedSpec):
             jnp.zeros((TQ,), jnp.int32),
             jnp.zeros((TQ,), jnp.int32),
         )
-        best_d2, best_ridx, best_slot, miss_i = (
-            jax.lax.fori_loop(0, n_probes, probe_body, init)
-        )
+        if spec.unroll:
+            carry = init
+            for k in range(n_probes):
+                carry = probe_body(k, carry)
+            best_d2, best_ridx, best_slot, miss_i = carry
+        else:
+            best_d2, best_ridx, best_slot, miss_i = (
+                jax.lax.fori_loop(0, n_probes, probe_body, init)
+            )
         miss = miss_i > 0
 
         found = best_d2 < inv_found
@@ -489,7 +525,9 @@ def _make_kernel(spec: FusedSpec):
         feats = tuple(pick(WA + f * NC) for f in range(F))
 
         rf = tuple(rflat_ref[k] for k in range(9))
-        C = linearize_and_reduce(q, p, wq, best_tx, best_ty, best_tz, feats, rf, a_buf)
+        C = _linearize_and_reduce(
+            spec, q, p, wq, best_tx, best_ty, best_tz, feats, rf, a_buf
+        )
         # outputs padded to Mosaic-tileable (8, 128) / (8, TQ) blocks
         stats_ref[0, :, :] = jnp.pad(C, ((0, 0), (0, 120)))
         unres_ref[0, :, :] = jnp.broadcast_to(
@@ -578,7 +616,8 @@ def fused_stats_call(spec: FusedSpec, tab, q, p, w, rflat, *, interpret=False):
 
 def voxel_fused_spec(vm, kind: str, max_dist: float, huber_delta: float | None = None,
                      tq: int = 512,
-                     region_target: tuple[int, int, int] = (8, 8, 8)) -> FusedSpec | None:
+                     region_target: tuple[int, int, int] = (8, 8, 8),
+                     unroll: bool = True) -> FusedSpec | None:
     """Build the static kernel spec for a dense-direct :class:`VoxelMap`.
 
     Host-side (a few tiny device_get syncs — called once at ``set_target``).
@@ -611,6 +650,7 @@ def voxel_fused_spec(vm, kind: str, max_dist: float, huber_delta: float | None =
             tq=tq,
             max_dist=float(max_dist),
             huber_delta=huber_delta,
+            unroll=unroll,
         )
     except ValueError:
         return None  # window wider than the whole block grid etc.

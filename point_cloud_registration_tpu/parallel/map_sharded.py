@@ -46,7 +46,10 @@ from point_cloud_registration_tpu.ops.voxelize import (
     sqrt_icov_u6,
 )
 
-_BIG_RANK = jnp.int32(1 << 30)
+# numpy (not jnp): a module-level jnp constant would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize in
+# multi-host programs that import this package before calling it.
+_BIG_RANK = np.int32(1 << 30)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -231,7 +234,6 @@ def align_map_sharded(
         mesh=mesh,
         in_specs=(P("model"), P("data"), P("data"), P()),
         out_specs=P(),
-        check_vma=False,  # see parallel.sharded.align_sharded
     )(svm, source, src_weight, init_T)
 
 

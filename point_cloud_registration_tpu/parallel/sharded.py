@@ -75,10 +75,6 @@ def align_sharded(kind, target, source, src_weight, init_T, cfg, mesh: Mesh) -> 
         mesh=mesh,
         in_specs=(P("data"), P("data"), P()),
         out_specs=P(),
-        # The varying-manual-axes checker mis-types the tiered query's
-        # cond-inside-while under vmap (tries to pvary an already-varying
-        # value); semantics are unaffected, so bypass the check.
-        check_vma=False,
     )(source, src_weight, init_T)
 
 
@@ -115,5 +111,4 @@ def align_batched_sharded(
         mesh=mesh,
         in_specs=(P("batch", "data"), P("batch", "data"), P("batch")),
         out_specs=P("batch"),
-        check_vma=False,  # see align_sharded
     )(sources, src_weights, init_Ts)

@@ -191,3 +191,22 @@ def test_voxelgrid_calc_sqrt_icov(cloud):
     assert vg.sqrt_icov.shape == (len(vg.mean), 3, 3)
     # upper triangular
     assert np.allclose(vg.sqrt_icov[:, 1, 0], 0) and np.allclose(vg.sqrt_icov[:, 2, 0], 0)
+
+
+def test_dense_blocks_transpose_matches_scatter(cloud):
+    """dense_blocks_from_dense (pure-permutation fast path) must reproduce
+    build_dense_blocks (scatter path) bit-for-bit on a dense-direct map."""
+    from point_cloud_registration_tpu.ops.knn import (
+        DENSE_BLOCK,
+        build_dense_blocks,
+        dense_blocks_from_dense,
+    )
+
+    vm = voxelize.build_voxel_map(cloud, 1.0, min_points=10, rich="normals")
+    dims = tuple(int(x) for x in jax.device_get(vm.grid.dims))
+    nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
+    scatter = build_dense_blocks(vm.grid, vm.means, vm.valid, nb, vm.normals)
+    transpose = dense_blocks_from_dense(vm.means, vm.valid, dims, nb, vm.normals)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(scatter)), np.asarray(jax.device_get(transpose))
+    )
