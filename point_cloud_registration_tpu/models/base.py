@@ -85,12 +85,14 @@ class Registration:
             init_T = np.eye(4)
         src, w = pad_points(source)
         result = self._align_fn(self._target, src, w, jnp.asarray(init_T, jnp.float32))
-        self.last_diagnostics = jax.device_get(result.diagnostics)
+        # ONE host sync for transform + diagnostics (each device_get is a
+        # full tunnel roundtrip on remote-attached TPUs).
+        T_np, self.last_diagnostics = jax.device_get((result.T, result.diagnostics))
         if verbose:
             d = self.last_diagnostics
             for i in range(int(d.iterations)):
                 print(f"iter {i}, error {d.e2_history[i]}")
-        return np.asarray(jax.device_get(result.T), dtype=np.float64)
+        return np.asarray(T_np, dtype=np.float64)
 
     def calc_H_g_e2(self, cur_T, source):
         """One linearization at ``cur_T`` -> (H, g, e2) as NumPy.

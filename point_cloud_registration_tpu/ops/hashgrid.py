@@ -98,11 +98,24 @@ def _round_up_pow2(n: int) -> int:
 
 
 def _bbox_cells(points, cell_size: float) -> tuple[np.ndarray, np.ndarray]:
-    """Host-side bounding box in cell units (one tiny device->host sync)."""
+    """Host-side bounding box in cell units.
+
+    NumPy inputs are reduced on the host (zero device syncs — the common
+    ``set_target(np.ndarray)`` path); device inputs cost ONE combined
+    device->host sync. Both reduce in float32, so the resulting cells are
+    identical regardless of where the input lives.
+    """
     if points.shape[0] == 0:
         raise ValueError("empty point cloud: at least one point is required")
-    lo = np.asarray(jax.device_get(jnp.min(points, axis=0)), dtype=np.float64)
-    hi = np.asarray(jax.device_get(jnp.max(points, axis=0)), dtype=np.float64)
+    if isinstance(points, np.ndarray):
+        pts32 = points if points.dtype == np.float32 else points.astype(np.float32)
+        lo = pts32.min(axis=0).astype(np.float64)
+        hi = pts32.max(axis=0).astype(np.float64)
+    else:
+        p32 = jnp.asarray(points, jnp.float32)
+        lo, hi = jax.device_get((jnp.min(p32, axis=0), jnp.max(p32, axis=0)))
+        lo = np.asarray(lo, np.float64)
+        hi = np.asarray(hi, np.float64)
     lo_cell = np.floor(lo / cell_size).astype(np.int64)
     hi_cell = np.floor(hi / cell_size).astype(np.int64)
     return lo_cell, hi_cell
@@ -127,9 +140,9 @@ def build_grid(
     ``capacity`` defaults to N rounded up to a power of two, which bounds
     compilation cache churn across differently-sized maps.
     """
+    lo_cell, hi_cell = _bbox_cells(points, cell_size)  # NumPy input: no sync
     points = jnp.asarray(points, dtype=jnp.float32)
     n = points.shape[0]
-    lo_cell, hi_cell = _bbox_cells(points, cell_size)
     dims64 = hi_cell - lo_cell + 1
     total_cells = int(np.prod(dims64))
     if total_cells >= np.iinfo(np.int32).max:
@@ -149,6 +162,12 @@ def build_grid(
         capacity=capacity,
         dense_size=dense_size,
         with_buckets=with_buckets,
+    )
+    # Geometry is host-known: store as NumPy so later device_gets are free.
+    grid = grid._replace(
+        origin_cell=np.asarray(lo_cell, np.int32),
+        cell_size=np.float32(cell_size),
+        dims=np.asarray(dims64, np.int32),
     )
     return grid, inverse, buckets
 

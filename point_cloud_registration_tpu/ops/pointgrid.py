@@ -82,8 +82,15 @@ def build_packed_grid(points, cell_fine: float, cap: int = 32) -> PackedPointGri
     n_occ = int(jax.device_get(n_occ_dev))
     r_cap = 1 << max(0, (n_occ - 1).bit_length())
 
-    return _pack(points, bkeys, order, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine),
-                 nb_dims=nb_dims, r_cap=r_cap, cap=cap)
+    pg = _pack(points, bkeys, order, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine),
+               nb_dims=nb_dims, r_cap=r_cap, cap=cap)
+    # Geometry is host-known: store as NumPy so downstream device_gets
+    # (fused-spec construction) are free of tunnel syncs.
+    return pg._replace(
+        origin_fine=np.asarray(lo_cell, np.int32),
+        cell_fine=np.float32(cell_fine),
+        nb_dims=np.asarray(nb_dims, np.int32),
+    )
 
 
 @partial(jax.jit, static_argnames=("nb_dims",))

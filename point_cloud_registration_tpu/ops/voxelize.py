@@ -215,8 +215,9 @@ def build_voxel_map(
     maps only). One bounding-box host sync; the rest is a single jitted
     program.
     """
-    points = jnp.asarray(points, dtype=jnp.float32)
+    # bbox on the raw input: NumPy inputs never touch the device for it
     lo_cell, hi_cell = _bbox_cells(points, voxel_size)
+    points = jnp.asarray(points, dtype=jnp.float32)
     total_cells = int(np.prod(hi_cell - lo_cell + 1))
     if capacity is None and total_cells <= DENSE_CELL_BUDGET:
         # Dense-direct build: voxel slot == linear cell key, so the
@@ -232,6 +233,13 @@ def build_voxel_map(
             with_icov=with_icov,
             with_normals=with_normals or with_icov,
         )
+        # Grid geometry is host-known: store it as NumPy so downstream
+        # device_gets (fused-spec construction, update_voxel_map) are free.
+        vm = vm._replace(grid=vm.grid._replace(
+            origin_cell=np.asarray(lo_cell, np.int32),
+            cell_size=np.float32(voxel_size),
+            dims=np.asarray(dims, np.int32),
+        ))
         grid = vm.grid
         identity_slots = True
     else:
@@ -239,7 +247,8 @@ def build_voxel_map(
         vm = _finish_voxel_map(
             points, grid, inverse, min_points=min_points, with_icov=with_icov
         )
-        dims = tuple(int(x) for x in jax.device_get(grid.dims))
+        vm = vm._replace(grid=grid)  # keep build_grid's host-NumPy geometry
+        dims = tuple(int(x) for x in np.asarray(grid.dims))
         identity_slots = False
     if grid.dense is not None:
         # blocked table needs static block-grid dims (host ints)
@@ -260,7 +269,7 @@ def build_voxel_map(
             blocks = _dense_blocks_jit(vm.means, vm.valid, dims, nb, feats)
         else:
             blocks = _build_blocks_jit(grid, vm.means, vm.valid, nb, feats)
-        vm = vm._replace(dense_blocks=blocks, nb_dims=jnp.asarray(nb, jnp.int32))
+        vm = vm._replace(dense_blocks=blocks, nb_dims=np.asarray(nb, np.int32))
     return vm
 
 
@@ -485,6 +494,13 @@ def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10) -> VoxelMap
     with_icov = vm.icovs is not None
     nb_dims = tuple(int(x) for x in jax.device_get(vm.nb_dims)) if vm.nb_dims is not None else None
     vm2 = _update_voxel_map_dense(vm, new_points, with_icov=with_icov, min_points=min_points)
+    # jit tracing turns the host-NumPy grid geometry into device arrays on
+    # the way through — restore the host copies so later syncs stay free
+    vm2 = vm2._replace(grid=vm2.grid._replace(
+        origin_cell=np.asarray(jax.device_get(vm.grid.origin_cell), np.int32),
+        cell_size=np.float32(jax.device_get(vm.grid.cell_size)),
+        dims=np.asarray(jax.device_get(vm.grid.dims), np.int32),
+    ))
     if nb_dims is not None:
         dims = tuple(int(x) for x in jax.device_get(vm.grid.dims))
         nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
@@ -497,7 +513,7 @@ def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10) -> VoxelMap
         else:
             feats = None
         blocks = _dense_blocks_jit(vm2.means, vm2.valid, dims, nb, feats)
-        vm2 = vm2._replace(dense_blocks=blocks, nb_dims=jnp.asarray(nb, jnp.int32))
+        vm2 = vm2._replace(dense_blocks=blocks, nb_dims=np.asarray(nb, np.int32))
     return vm2
 
 
