@@ -111,7 +111,10 @@ def timed(fn, warmup=1, reps=3):
 
 
 V5E_HBM_GBS = 819.0  # v5e HBM peak, GB/s
-V5E_MXU_F32_TFLOPS = 197.0 / 6  # bf16 peak / 6 passes for exact-f32 HIGHEST
+# exact-f32 gathers run as 3 bf16 passes (lossless bf16x3 split of the
+# table against an exactly-bf16 one-hot), so the f32-equivalent MXU peak
+# for the fused kernel is bf16 peak / 3
+V5E_MXU_F32_TFLOPS = 197.0 / 3
 
 
 def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
@@ -183,11 +186,13 @@ def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
         return jax.lax.fori_loop(0, REP, body, 0.0)
 
     t_iter = best(lambda: loop_kernel()) / REP
+    from point_cloud_registration_tpu.ops.pallas.fused_align import padded_row_width
+
     n_pad = q_s.shape[0]
     n_tiles = n_pad // spec.tq
     RX, RY = spec.region[0], spec.region[1]
     WT = vm.dense_blocks.shape[-1]
-    WA = 128
+    WA = padded_row_width(3 * spec.ncand)
     NR = RY * spec.nbz8 * RX
     iter_bytes = (
         n_pad * 7 * 4  # q, p, w tiles in
@@ -341,8 +346,8 @@ def main():
 
     # Roofline / utilization (BASELINE north star "kernels at speed-of-light";
     # VERDICT r1 item 5): measured per-phase wall vs modeled HBM bytes and
-    # MXU FLOPs, against v5e peaks (819 GB/s HBM; ~197 TFLOP/s bf16 MXU, /6
-    # for the exact-f32 six-pass HIGHEST mode the one-hot gathers use).
+    # MXU FLOPs, against v5e peaks (819 GB/s HBM; ~197 TFLOP/s bf16 MXU, /3
+    # for the lossless three-pass bf16x3 gathers the fused kernel uses).
     roofline = {}
     try:
         roofline = roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist)

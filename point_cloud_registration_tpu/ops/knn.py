@@ -118,9 +118,13 @@ def nearest_voxel(
 # Cells per dense block along (x, y, z). A block is one gather row of
 # bx*by*bz*3 floats; bigger blocks cut gather-row count (the TPU bottleneck)
 # at the cost of distance math on a cell superset (VPU, nearly free).
-# (4, 4, 2) = 96 floats/row benchmarked fastest on v5e (tier-2's radius-2
-# window shrinks from 27 to 8 block gathers; the near pass stays at 8).
-DENSE_BLOCK = (4, 4, 2)
+# (4, 8, 4): every axis span for the radius-2 window is 2, so the fused
+# Pallas kernel probes 8 blocks (vs 12 for the round-1 (4, 4, 2)), and
+# 4-cell z blocks quarter the z-padding waste of the kernel's
+# full-z-extent region DMA (nbz8 = 8 covers 32 z cells instead of
+# 16 x 2 = 32 covering the same 21 — the one-hot row space per region
+# drops from 1024 to 256 rows on the B-01-scale bench map).
+DENSE_BLOCK = (4, 8, 4)
 
 
 def _block_span(radius_cells: int, b: int) -> int:

@@ -80,8 +80,11 @@ class FusedSpec:
     tq: int  # queries per tile
     max_dist: float
     huber_delta: float | None = None
-    # one-hot gather matmul precision: "highest" is exact f32; "default"
-    # truncates coordinates to bf16 in the MXU (perf experiments only)
+    # one-hot gather passes: "highest" reconstructs exact f32 from a
+    # lossless 3-way bf16 split of the table (the one-hot operand is exact
+    # in bf16, so 3 bf16 MXU passes replace XLA HIGHEST's 6 — same bits,
+    # half the time); "default" is a single hi-bf16 pass (~0.4% coordinate
+    # truncation, perf experiments only)
     gather_precision: str = "highest"
     # unroll the probe loop (Python loop instead of fori_loop): Mosaic can
     # software-pipeline the unrolled probes, but every probe's buffers are
@@ -366,11 +369,30 @@ def _make_kernel(spec: FusedSpec):
     nbx, nby, nbz = spec.nb_dims
     ox0, oy0, oz0 = spec.origin_cell
     inv_found = np.float32(FOUND_MAX) ** 2
-    gather_prec = (
-        jax.lax.Precision.HIGHEST
-        if spec.gather_precision == "highest"
-        else jax.lax.Precision.DEFAULT
-    )
+    n_split = 3 if spec.gather_precision == "highest" else 1
+
+    def split_bf16(a):
+        """Lossless 3-way bf16 decomposition (hi + mid + lo == a exactly):
+        a one-hot matmul against each part is an exact bf16 row copy, so
+        their f32 sum reconstructs the f32 row bit-for-bit in 3 MXU passes
+        (vs 6 for Precision.HIGHEST)."""
+        hi = a.astype(jnp.bfloat16)
+        r1 = a - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (hi, mid, lo)[:n_split]
+
+    def onehot_gather(oh_mask, parts):
+        """(TQ, NR) boolean one-hot x split table parts -> exact f32 rows."""
+        oh = oh_mask.astype(jnp.bfloat16)
+        out = None
+        for part in parts:
+            d = jax.lax.dot_general(
+                oh, part, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = d if out is None else out + d
+        return out
 
     def kernel(orig_ref, rflat_ref, q_ref, p_ref, w_ref, tab,
                stats_ref, unres_ref, reg, a_buf, sem):
@@ -427,7 +449,9 @@ def _make_kernel(spec: FusedSpec):
 
         dma(i, slot).wait()
         reg_flat = reg[slot].reshape(NR, WT)
-        reg_coords = reg_flat[:, :WA]
+        # split ONCE per tile; probes gather from the coordinate slices
+        reg_parts = split_bf16(reg_flat)
+        coord_parts = tuple(p[:, :WA] for p in reg_parts)
         psx, psy = spec.spans[0], spec.spans[1]
         n_probes = len(spec.probes)
 
@@ -452,11 +476,7 @@ def _make_kernel(spec: FusedSpec):
             miss = jnp.maximum(miss, (glob_ok & jnp.logical_not(reg_ok)).astype(jnp.int32))
             # region layout (RY, NBZ8, RX): z is fully resident
             ridx = jnp.where(ok, (ry_ * NBZ8 + gz) * RX + rx_, 0)
-            oh = jnp.where(
-                (ridx[:, None] == iota_nr) & ok[:, None], np.float32(1.0), np.float32(0.0)
-            )
-            rows = jnp.dot(oh, reg_coords, preferred_element_type=jnp.float32,
-                           precision=gather_prec)
+            rows = onehot_gather((ridx[:, None] == iota_nr) & ok[:, None], coord_parts)
             cx = rows[:, 0:NC]
             cy = rows[:, NC : 2 * NC]
             cz = rows[:, 2 * NC : 3 * NC]
@@ -507,13 +527,9 @@ def _make_kernel(spec: FusedSpec):
             unresolved = miss & live
 
         # ONE merged-row gather serves the winner's coordinates and features
-        ohb = jnp.where(
-            (best_ridx[:, None] == iota_nr) & found[:, None],
-            np.float32(1.0),
-            np.float32(0.0),
+        rrows = onehot_gather(
+            (best_ridx[:, None] == iota_nr) & found[:, None], reg_parts
         )
-        rrows = jnp.dot(ohb, reg_flat, preferred_element_type=jnp.float32,
-                        precision=gather_prec)
         selb = best_slot[:, None] == iota_nc
 
         def pick(col0):
@@ -616,7 +632,7 @@ def fused_stats_call(spec: FusedSpec, tab, q, p, w, rflat, *, interpret=False):
 
 def voxel_fused_spec(vm, kind: str, max_dist: float, huber_delta: float | None = None,
                      tq: int = 512,
-                     region_target: tuple[int, int, int] = (8, 8, 8),
+                     region_target: tuple[int, int, int] | None = None,
                      unroll: bool = True) -> FusedSpec | None:
     """Build the static kernel spec for a dense-direct :class:`VoxelMap`.
 
@@ -636,6 +652,11 @@ def voxel_fused_spec(vm, kind: str, max_dist: float, huber_delta: float | None =
     cell = float(jax.device_get(vm.grid.cell_size))
     radius = int(np.ceil(max_dist / cell - 1e-9))
     spans = tuple((2 * radius + b - 1) // b + 1 for b in DENSE_BLOCK)
+    if region_target is None:
+        # ~32 cells of region slack per xy axis: enough for a 512-query
+        # band-sorted tile, small enough that the one-hot row space
+        # (RY * nbz8 * RX) stays near the MXU's 128-deep sweet spot
+        region_target = tuple(max(s + 1, 32 // b) for s, b in zip(spans, DENSE_BLOCK))
     region = default_region(nb, spans, region_target)
     try:
         return FusedSpec(

@@ -31,6 +31,7 @@ import numpy as np
 from point_cloud_registration_tpu.ops.eigh3 import smallest_eigvec_sym3
 from point_cloud_registration_tpu.ops.hashgrid import (
     DENSE_CELL_BUDGET,
+    INVALID_KEY,
     Grid,
     _bbox_cells,
     build_grid,
@@ -72,30 +73,68 @@ class VoxelMap(NamedTuple):
         return jnp.sum(self.valid)
 
 
-def _segment_stats(points, inverse, capacity, corner):
-    """Count/mean/packed-covariance per voxel slot, accumulated cell-locally."""
+def _slot_corners(grid: Grid) -> jax.Array:
+    """Exact per-slot cell corner reconstructed from the grid keys (no
+    scatter, no accumulation error): (capacity, 3) f32."""
+    keys = grid.keys
+    nx, ny = grid.dims[0], grid.dims[1]
+    ok = (keys != INVALID_KEY) & (keys >= 0)
+    safe = jnp.where(ok, keys, 0)
+    cx = safe % nx + grid.origin_cell[0]
+    cy = (safe // nx) % ny + grid.origin_cell[1]
+    cz = safe // (nx * ny) + grid.origin_cell[2]
+    return jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32) * grid.cell_size
+
+
+def _segment_stats(points, inverse, capacity, corner, corner_slot,
+                   *, with_covs: bool = True):
+    """Count/mean/packed-covariance per voxel slot, accumulated cell-locally.
+
+    One-pass moments [1, local, local (x) local] reduced by the sorted-chunk
+    MXU segment sum (:func:`_segment_acc`) — scatter-adds are row-bound on
+    TPU (~100 ns/row). ``corner`` is each point's cell corner (the local
+    frame); ``corner_slot`` the exact per-slot corner (see
+    :func:`_slot_corners`). Covariance via
+    (sum pp^T - n mu mu^T) / max(n - 1, 1), the reference divisor
+    (voxel.py:140-148); cell-local coordinates keep the cancellation
+    float32-benign.
+    """
     local = points - corner
-    counts = jnp.zeros((capacity,), jnp.int32).at[inverse].add(1)
-    sums = jnp.zeros((capacity, 3), jnp.float32).at[inverse].add(local)
-    counts_f = jnp.maximum(counts, 1).astype(jnp.float32)
-    means_local = sums / counts_f[:, None]
-    dev = local - means_local[inverse]
-    prods = jnp.stack(
+    parts = [jnp.ones((points.shape[0], 1), jnp.float32), local]
+    if with_covs:
+        parts += [
+            local[:, 0:1] * local,  # xx, xy, xz
+            local[:, 1:2] * local[:, 1:3],  # yy, yz
+            local[:, 2:3] * local[:, 2:3],  # zz
+        ]
+    vals = jnp.concatenate(parts, axis=-1)
+    acc = _segment_acc(inverse, vals, capacity)
+    counts_f = acc[:, 0]
+    counts = counts_f.astype(jnp.int32)
+    safe_n = jnp.maximum(counts_f, 1.0)
+    means_local = acc[:, 1:4] / safe_n[:, None]
+    means = means_local + corner_slot
+    if not with_covs:
+        return counts, means, jnp.zeros((capacity, 6), jnp.float32)
+    sq = jnp.stack(
+        [acc[:, 4], acc[:, 7], acc[:, 9], acc[:, 5], acc[:, 6], acc[:, 8]],
+        axis=-1,
+    )
+    mu = means_local
+    mu_outer = jnp.stack(
         [
-            dev[:, 0] * dev[:, 0],
-            dev[:, 1] * dev[:, 1],
-            dev[:, 2] * dev[:, 2],
-            dev[:, 0] * dev[:, 1],
-            dev[:, 0] * dev[:, 2],
-            dev[:, 1] * dev[:, 2],
+            mu[:, 0] * mu[:, 0],
+            mu[:, 1] * mu[:, 1],
+            mu[:, 2] * mu[:, 2],
+            mu[:, 0] * mu[:, 1],
+            mu[:, 0] * mu[:, 2],
+            mu[:, 1] * mu[:, 2],
         ],
         axis=-1,
     )
-    cov_sums = jnp.zeros((capacity, 6), jnp.float32).at[inverse].add(prods)
-    # Reference divisor: max(counts - 1, 1) (voxel.py:140-148).
-    covs = cov_sums / jnp.maximum(counts - 1, 1).astype(jnp.float32)[:, None]
-    corner_per_slot = jnp.zeros((capacity, 3), jnp.float32).at[inverse].set(corner)
-    means = means_local + corner_per_slot
+    covs = (sq - counts_f[:, None] * mu_outer) / jnp.maximum(
+        counts_f - 1.0, 1.0
+    )[:, None]
     return counts, means, covs
 
 
@@ -103,7 +142,7 @@ def _segment_stats(points, inverse, capacity, corner):
 _SEG_CH = 512  # sorted-chunk length for the MXU segment-sum build
 
 
-def _segment_acc(key, vals, d_total: int):
+def _segment_acc(key, vals, d_total: int, *, presorted: bool = False):
     """Segment-sum ``vals`` by ``key`` into a dense (d_total, W) table.
 
     TPU scatter-add is row-bound (~100 ns/row: a (1.2M, 10) scatter costs
@@ -119,11 +158,19 @@ def _segment_acc(key, vals, d_total: int):
     ``key`` must already route out-of-range points to ``d_total`` (dropped).
     Returns acc identical (to f32 rounding) to
     ``zeros((d_total, W)).at[key].add(vals, mode="drop")``.
+
+    ``presorted=True`` skips the sort (``key``/``vals`` already key-sorted):
+    callers with narrow payloads carry them through a multi-operand
+    ``lax.sort`` instead, which is ~2x cheaper than this function's
+    argsort + (N, W) row gather (row-bound) for W = 10.
     """
     n, width = vals.shape
-    order = jnp.argsort(key).astype(jnp.int32)
-    skey = key[order]
-    svals = vals[order]
+    if presorted:
+        skey, svals = key, vals
+    else:
+        order = jnp.argsort(key).astype(jnp.int32)
+        skey = key[order]
+        svals = vals[order]
     nch = -(-n // _SEG_CH)
     npad = nch * _SEG_CH
     cap = min(max(n // 4, 65536), npad)
@@ -153,22 +200,35 @@ def _segment_acc(key, vals, d_total: int):
     prev_last = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sc[1][:-1]])
     prev_suf = jnp.concatenate([jnp.zeros((1, width), jnp.float32), sc[2][:-1]])
     carry = jnp.where((prev_last == first_key)[:, None], prev_suf, 0.0)
-    total = S + jnp.where(
-        (kc == first_key[:, None])[..., None], carry[:, None, :], 0.0
-    )
-    total = total.reshape(npad, width)
+    S_flat = S.reshape(npad, width)
     is_end = jnp.concatenate([skey_p[1:] != skey_p[:-1], jnp.ones((1,), bool)])
     real_end = is_end & (skey_p < d_total)
     n_seg = jnp.sum(real_end)
 
     def compacted(_):
+        # A segment's total is its end-position full-chunk sum plus the
+        # cross-chunk carry (only when the segment starts the chunk) —
+        # gathered at the ~n_seg ends directly, never materializing the
+        # (npad, width) per-position totals.
         ends = jnp.nonzero(real_end, size=cap, fill_value=npad - 1)[0]
         live = jnp.arange(cap) < n_seg
-        seg_keys = jnp.where(live, skey_p[ends], d_total)
-        seg_vals = total[ends]
+        # dead-tail keys ascend past d_total (all dropped) so the whole
+        # index vector stays sorted AND duplicate-free for the hints below
+        seg_keys = jnp.where(
+            live, skey_p[ends], d_total + jnp.arange(cap, dtype=jnp.int32)
+        )
+        c_idx = ends // _SEG_CH
+        seg_vals = S_flat[ends] + jnp.where(
+            (skey_p[ends] == first_key[c_idx])[:, None], carry[c_idx], 0.0
+        )
         acc = jnp.zeros((d_total, width), jnp.float32)
+        # seg_keys ascend (ends of a sorted key array) and are unique:
+        # narrow column scatters with both hints vectorize on TPU
         for col in range(width):
-            acc = acc.at[seg_keys, col].set(seg_vals[:, col], mode="drop")
+            acc = acc.at[seg_keys, col].set(
+                seg_vals[:, col], mode="drop",
+                indices_are_sorted=True, unique_indices=True,
+            )
         return acc
 
     def overflow(_):
@@ -274,6 +334,7 @@ def build_voxel_map(
 
 
 _build_blocks_jit = partial(jax.jit, static_argnames=("nb_dims_static",))(build_dense_blocks)
+_segment_stats_jit = partial(jax.jit, static_argnames=("capacity", "with_covs"))(_segment_stats)
 _dense_blocks_jit = partial(jax.jit, static_argnames=("dims_static", "nb_dims_static"))(
     dense_blocks_from_dense
 )
@@ -306,13 +367,23 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_p
     in_range = jnp.all((rel >= 0) & (rel < jnp.asarray(dims_static, jnp.int32)), axis=-1)
     key = rel[:, 0] + nx * (rel[:, 1] + ny * rel[:, 2])
     key = jnp.where(in_range, key, d_total)
-    corner = coords.astype(jnp.float32) * cell_size
 
-    # One-pass moment accumulation, ONE wide-row scatter: [1, p, p (x) p].
-    # Cell-local coordinates keep every term O(cell_size), so the
-    # E[pp^T] - mu mu^T cancellation is float32-benign (unlike the
-    # reference's global-coordinate float32 moments, estimate_normals.py:50).
-    local = points - corner
+    # Multi-operand sort carries the coordinates WITH the key — ~2x cheaper
+    # than argsort + an (N, 10) row gather of precomputed moments (gathers
+    # are row-bound). Moments are recomputed from the sorted points; the
+    # cells (hence corners) are bit-identical either side of the sort.
+    skey, sx, sy, sz = jax.lax.sort(
+        (key, points[:, 0], points[:, 1], points[:, 2]),
+        dimension=0, num_keys=1, is_stable=True,
+    )
+    spoints = jnp.stack([sx, sy, sz], axis=-1)
+    corner = cell_coords(spoints, cell_size).astype(jnp.float32) * cell_size
+
+    # One-pass moment accumulation: [1, p, p (x) p]. Cell-local coordinates
+    # keep every term O(cell_size), so the E[pp^T] - mu mu^T cancellation is
+    # float32-benign (unlike the reference's global-coordinate float32
+    # moments, estimate_normals.py:50).
+    local = spoints - corner
     parts = [jnp.ones((points.shape[0], 1), jnp.float32), local]
     if with_normals:
         parts += [
@@ -321,7 +392,7 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_p
             local[:, 2:3] * local[:, 2:3],  # zz
         ]
     vals = jnp.concatenate(parts, axis=-1)  # (N, 4 or 10)
-    acc = _segment_acc(key, vals, d_total)
+    acc = _segment_acc(skey, vals, d_total, presorted=True)
     counts_f = acc[:, 0]
     counts = counts_f.astype(jnp.int32)
     safe_n = jnp.maximum(counts_f, 1.0)
@@ -394,7 +465,9 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_p
 def _finish_voxel_map(points, grid: Grid, inverse, *, min_points, with_icov):
     capacity = grid.keys.shape[0]
     corner = cell_coords(points, grid.cell_size).astype(jnp.float32) * grid.cell_size
-    counts, means, covs = _segment_stats(points, inverse, capacity, corner)
+    counts, means, covs = _segment_stats(
+        points, inverse, capacity, corner, _slot_corners(grid)
+    )
     valid = counts >= min_points
     normals = smallest_eigvec_sym3(covs)
     icovs = invert_cov_packed(covs) if with_icov else None
@@ -504,11 +577,16 @@ def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10) -> VoxelMap
     if nb_dims is not None:
         dims = tuple(int(x) for x in jax.device_get(vm.grid.dims))
         nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
-        # regenerate features when the old table carried them (width > 128:
-        # 256 = planar normals, 384 = sqrt icov)
-        if vm.dense_blocks.shape[-1] >= 384:
+        # regenerate whichever feature planes the old table carried,
+        # recognized by row width (derived from DENSE_BLOCK, not constants)
+        from point_cloud_registration_tpu.ops.knn import padded_row_width
+
+        w = int(np.prod(DENSE_BLOCK))
+        coord_w = padded_row_width(3 * w)
+        width = vm.dense_blocks.shape[-1]
+        if width >= coord_w + padded_row_width(6 * w):
             feats = sqrt_icov_u6(vm2.icovs)
-        elif vm.dense_blocks.shape[-1] >= 256:
+        elif width >= coord_w + padded_row_width(3 * w):
             feats = vm2.normals
         else:
             feats = None
@@ -612,7 +690,9 @@ def voxel_filter(points, voxel_size: float) -> np.ndarray:
     grid, inverse, _ = build_grid(points, voxel_size)
     corner = cell_coords(points, grid.cell_size).astype(jnp.float32) * grid.cell_size
     capacity = grid.keys.shape[0]
-    counts, means, _ = _segment_stats(points, inverse, capacity, corner)
+    counts, means, _ = _segment_stats_jit(
+        points, inverse, capacity, corner, _slot_corners(grid), with_covs=False
+    )
     n_cells = int(jax.device_get(grid.n_cells))
     return np.asarray(jax.device_get(means))[:n_cells].astype(np.float32)
 
