@@ -312,11 +312,18 @@ def main():
     log(f"voxel_filter 1.2M pts: {t_vf:.3f}s")
 
     # Batched multi-scan registration throughput (SLAM front-end axis,
-    # BASELINE.json configs[4]): B scans aligned against one prebuilt map in
-    # a single batched program (vmap inside shard_map over a 1-chip mesh).
+    # BASELINE.json configs[4]): B scans aligned against one prebuilt map.
+    # On TPU the whole batch rides ONE fused-kernel stream per GN iteration
+    # (models._fused.fused_voxel_align_batched); the shard_map/vmap XLA path
+    # (parallel.align_batched_sharded) remains the multi-chip route.
     try:
         from point_cloud_registration_tpu.core.config import VPlaneICPConfig
         from point_cloud_registration_tpu.models import build_vplane_target
+        from point_cloud_registration_tpu.models._fused import (
+            fused_voxel_align_batched,
+            use_fused,
+        )
+        from point_cloud_registration_tpu.ops.pallas.fused_align import voxel_fused_spec
         from point_cloud_registration_tpu.parallel import align_batched_sharded, make_mesh
 
         cfg = VPlaneICPConfig(voxel_size=voxel_size, max_iter=max_iter, max_dist=max_dist, tol=tol)
@@ -328,12 +335,21 @@ def main():
         scans = jax.device_put(jnp.asarray(scans_np))
         weights = jnp.ones((B, n_b), jnp.float32)
         init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+        spec = voxel_fused_spec(target, "plane", max_dist=cfg.max_dist)
         mesh = make_mesh(batch=1, data=1)
 
-        def run_batch():
-            out = align_batched_sharded("vplane_icp", target, scans, weights, init_Ts, cfg, mesh)
-            jax.block_until_ready(out.T)
-            return out
+        if use_fused(cfg.backend, spec):
+            def run_batch():
+                Ts, diag = fused_voxel_align_batched(
+                    target, scans, weights, init_Ts, cfg, spec
+                )
+                jax.block_until_ready(Ts)
+                return Ts
+        else:
+            def run_batch():
+                out = align_batched_sharded("vplane_icp", target, scans, weights, init_Ts, cfg, mesh)
+                jax.block_until_ready(out.T)
+                return out
 
         t_batch = timed(run_batch)
         log(

@@ -16,12 +16,18 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from point_cloud_registration_tpu.core.gn import GNDiagnostics, GNStats, gauss_newton
-from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
+from point_cloud_registration_tpu.core.gn import (
+    GNDiagnostics,
+    GNStats,
+    gauss_newton,
+    solve_6x6,
+)
+from point_cloud_registration_tpu.core.se3 import makeRt, plus, transform_points
 from point_cloud_registration_tpu.ops.pallas.fused_align import (
     FusedSpec,
     band_layout,
     fused_stats_call,
+    padded_capacity,
     planar_window_query,
     scatter_banded,
 )
@@ -101,3 +107,135 @@ def fused_voxel_align(vm, source, src_weight, init_T, cfg, spec: FusedSpec,
         )
 
     return gauss_newton(stats_fn, init_T, cfg.max_iter, cfg.tol)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "interpret"))
+def fused_voxel_align_batched(vm, sources, src_weights, init_Ts, cfg,
+                              spec: FusedSpec, interpret: bool = False):
+    """Batched multi-scan ``align`` on ONE kernel stream.
+
+    ``sources`` (B, n, 3), ``src_weights`` (B, n), ``init_Ts`` (B, 4, 4)
+    against one shared map. Rather than vmapping the per-problem aligner
+    (which would vmap ``pallas_call``), every problem's band-laid-out tiles
+    are concatenated into one kernel launch per Gauss-Newton iteration —
+    each tile carries its problem's rotation via scalar prefetch, and the
+    per-tile 8x8 stats blocks segment-sum back to problems. One batched GN
+    while_loop mirrors :func:`core.gn.gauss_newton`'s per-problem iteration
+    semantics exactly (solve -> check -> update; T frozen on the breaking
+    step; per-problem iteration counts).
+
+    Returns ``(Ts (B, 4, 4), GNDiagnostics with leading dim B)``.
+    """
+    B, n, _ = sources.shape
+    sources = jnp.asarray(sources, jnp.float32)
+    init_Ts = jnp.asarray(init_Ts, jnp.float32)
+    tq = spec.tq
+    n_cap = padded_capacity(spec, n)
+    n_cap_al = -(-n_cap // tq) * tq
+    tiles_pp = n_cap_al // tq
+    max_iter, tol = cfg.max_iter, cfg.tol
+    fb_cap = int(max(min(n // 8, 16384), min(n, 256)))
+
+    q0 = jax.vmap(transform_points)(init_Ts, sources)
+    pos = jax.vmap(lambda q: band_layout(spec, q))(q0)  # (B, n)
+
+    def scat(p1, w1, pos1):
+        pp = jnp.zeros((n_cap_al, 3), jnp.float32).at[pos1].set(p1)
+        wp = jnp.zeros((n_cap_al,), jnp.float32).at[pos1].set(w1)
+        return pp, wp
+
+    src_s, w_s = jax.vmap(scat)(sources, src_weights, pos)  # (B, n_cap_al, .)
+    arange_b = jnp.arange(B)
+
+    def stats_all(Ts):
+        Rs = jax.vmap(lambda T: makeRt(T)[0])(Ts)  # (B, 3, 3)
+        rflat_b = Rs.reshape(B, 9)
+        rflat_t = jnp.repeat(rflat_b, tiles_pp, axis=0)  # (B*tiles_pp, 9)
+        q = jax.vmap(transform_points)(Ts, src_s)  # (B, n_cap_al, 3)
+        stats, unres = fused_stats_call(
+            spec, vm.dense_blocks, q.reshape(-1, 3), src_s.reshape(-1, 3),
+            w_s.reshape(-1), rflat_t, interpret=interpret, per_tile=True,
+        )
+        C = jnp.sum(stats.reshape(B, tiles_pp, 8, 128), axis=1)[:, :, :8]
+        unres_b = unres.reshape(B, n_cap_al)
+
+        def resolve_one(qb, unb, wb, pb, R, Cb):
+            # unconditional compacted fallback (fixed-tier: data-dependent
+            # switching buys nothing when every problem runs in one program)
+            n_un = jnp.sum(unb)
+            idxs = jnp.nonzero(unb, size=fb_cap, fill_value=0)[0]
+            live = jnp.arange(fb_cap) < n_un
+            qs = qb[idxs]
+            d, tgt, feats = planar_window_query(spec, vm.dense_blocks, qs)
+            ws = wb[idxs] * live * (d < spec.max_dist)
+            if spec.kind == "plane":
+                sub = plane_stats(pb[idxs], qs, tgt, feats, ws, R,
+                                  huber_delta=spec.huber_delta)
+            else:
+                sub = whitened_stats(pb[idxs], qs, tgt, feats, ws, R,
+                                     huber_delta=spec.huber_delta)
+            return GNStats(
+                H=Cb[:6, :6] + sub.H,
+                g=Cb[:6, 6] + sub.g,
+                e2=Cb[6, 6] + sub.e2,
+                n_inliers=Cb[7, 7] + sub.n_inliers,
+            )
+
+        return jax.vmap(resolve_one)(q, unres_b, w_s, src_s, Rs, C)
+
+    def cond(c):
+        return jnp.any(jnp.logical_not(c["done"]))
+
+    def body(c):
+        active = jnp.logical_not(c["done"])
+        stats = stats_all(c["T"])
+        dx = jax.vmap(solve_6x6)(stats.H, stats.g)  # (B, 6)
+        dx_norm = jnp.linalg.norm(dx, axis=1)
+        bad = jnp.logical_not(jnp.isfinite(dx_norm))
+        conv_now = dx_norm < tol
+        done_now = conv_now | bad
+        T_new = jax.vmap(plus)(c["T"], dx)
+        keep = c["done"] | done_now
+        T_next = jnp.where(keep[:, None, None], c["T"], T_new)
+        it_cl = jnp.clip(c["it"], 0, max_iter - 1)
+
+        def hist(h, v):
+            old = h[arange_b, it_cl]
+            return h.at[arange_b, it_cl].set(jnp.where(active, v, old))
+
+        it_next = c["it"] + active.astype(jnp.int32)
+        done_next = c["done"] | (active & done_now) | (it_next >= max_iter)
+        return {
+            "T": T_next,
+            "it": it_next,
+            "done": done_next,
+            "failed": c["failed"] | (active & bad),
+            "converged": c["converged"] | (active & conv_now),
+            "e2_hist": hist(c["e2_hist"], stats.e2),
+            "dxn_hist": hist(c["dxn_hist"], dx_norm),
+            "inl_hist": hist(c["inl_hist"], stats.n_inliers.astype(jnp.int32)),
+            "final_e2": jnp.where(active, stats.e2, c["final_e2"]),
+        }
+
+    init = {
+        "T": init_Ts,
+        "it": jnp.zeros((B,), jnp.int32),
+        "done": jnp.zeros((B,), bool),
+        "failed": jnp.zeros((B,), bool),
+        "converged": jnp.zeros((B,), bool),
+        "e2_hist": jnp.zeros((B, max_iter), jnp.float32),
+        "dxn_hist": jnp.zeros((B, max_iter), jnp.float32),
+        "inl_hist": jnp.zeros((B, max_iter), jnp.int32),
+        "final_e2": jnp.zeros((B,), jnp.float32),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    diag = GNDiagnostics(
+        iterations=out["it"],
+        converged=out["converged"],
+        solver_failed=out["failed"],
+        e2_history=out["e2_hist"],
+        dx_norm_history=out["dxn_hist"],
+        inlier_history=out["inl_hist"],
+        final_e2=out["final_e2"],
+    )
+    return out["T"], diag

@@ -540,7 +540,7 @@ def _make_kernel(spec: FusedSpec):
         best_tz = pick(2 * NC)
         feats = tuple(pick(WA + f * NC) for f in range(F))
 
-        rf = tuple(rflat_ref[k] for k in range(9))
+        rf = tuple(rflat_ref[i, k] for k in range(9))  # per-tile rotation
         C = _linearize_and_reduce(
             spec, q, p, wq, best_tx, best_ty, best_tz, feats, rf, a_buf
         )
@@ -553,19 +553,28 @@ def _make_kernel(spec: FusedSpec):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("spec", "interpret"))
-def fused_stats_call(spec: FusedSpec, tab, q, p, w, rflat, *, interpret=False):
-    """Run the fused kernel over Morton-ordered queries.
+@partial(jax.jit, static_argnames=("spec", "interpret", "per_tile"))
+def fused_stats_call(spec: FusedSpec, tab, q, p, w, rflat, *, interpret=False,
+                     per_tile: bool = False):
+    """Run the fused kernel over band-laid-out queries.
 
-    ``q``/``p``/``w`` must already be in Morton order (see
-    :func:`morton_order`); ``rflat`` is the 3x3 rotation row-major flattened.
+    ``q``/``p``/``w`` must already be in the band layout (see
+    :func:`band_layout`); ``rflat`` is the 3x3 rotation row-major flattened —
+    either one (9,) rotation for all tiles or per-tile (n_tiles, 9) rows
+    (batched multi-scan alignment, where consecutive tile groups belong to
+    different problems with different transforms).
     Returns ``(C (8, 8) f32, unresolved (N,) bool)`` where C packs the
-    normal equations (see module docstring).
+    normal equations (see module docstring) — or, with ``per_tile``,
+    ``(stats (n_tiles, 8, 128), unresolved)`` so the caller can segment-sum
+    tiles per problem.
     """
     n = q.shape[0]
     TQ = spec.tq
     n_tiles = -(-n // TQ)
     n_pad = n_tiles * TQ
+    rflat = jnp.asarray(rflat, jnp.float32)
+    if rflat.ndim == 1:
+        rflat = jnp.broadcast_to(rflat[None, :], (n_tiles, 9))
     if n_pad != n:
         q = jnp.concatenate([q, jnp.broadcast_to(q[-1:], (n_pad - n, 3))])
         p = jnp.concatenate([p, jnp.broadcast_to(p[-1:], (n_pad - n, 3))])
@@ -580,9 +589,9 @@ def fused_stats_call(spec: FusedSpec, tab, q, p, w, rflat, *, interpret=False):
     lo_b = jnp.floor_divide(relc - spec.radius, jnp.asarray([bx, by, bz], jnp.int32))
     # band-padding slots (w = 0) must not drag the per-tile min down
     lo_b = jnp.where((w > 0)[:, None], lo_b, jnp.int32(1 << 30))
-    per_tile = lo_b.reshape(n_tiles, TQ, 3)
+    lo_tiles = lo_b.reshape(n_tiles, TQ, 3)
     origins = jnp.clip(
-        jnp.min(per_tile, axis=1),
+        jnp.min(lo_tiles, axis=1),
         0,
         jnp.asarray([nbx - RX, nby - RY, 0], jnp.int32),
     )  # (n_tiles, 3) x, y, (z unused: region z is the full padded extent)
@@ -626,8 +635,10 @@ def fused_stats_call(spec: FusedSpec, tab, q, p, w, rflat, *, interpret=False):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(origins, rflat, q, p, w[:, None], tab)
-    C = jnp.sum(stats, axis=0)[:, :8]
-    return C, unres[:, 0, :].reshape(n_pad)[:n] > 0
+    unresolved = unres[:, 0, :].reshape(n_pad)[:n] > 0
+    if per_tile:
+        return stats, unresolved
+    return jnp.sum(stats, axis=0)[:, :8], unresolved
 
 
 def voxel_fused_spec(vm, kind: str, max_dist: float, huber_delta: float | None = None,

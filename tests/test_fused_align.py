@@ -194,3 +194,41 @@ def test_fused_backend_via_solver_class(scene):
     ref.set_target(pts)
     T_ref = ref.align(scan)
     np.testing.assert_allclose(T, T_ref, atol=2e-4)
+
+
+def test_fused_batched_matches_per_problem(scene):
+    """The batched kernel-stream aligner must reproduce each problem's
+    per-problem fused align exactly: same transforms, iteration counts,
+    convergence flags."""
+    from point_cloud_registration_tpu.core.config import VPlaneICPConfig
+    from point_cloud_registration_tpu.models._fused import (
+        fused_voxel_align,
+        fused_voxel_align_batched,
+    )
+
+    pts, scan = scene
+    cfg = VPlaneICPConfig(voxel_size=1.0, min_points=5)
+    vm = build_voxel_map(pts, 1.0, min_points=5, rich="normals")
+    spec = voxel_fused_spec(vm, "plane", max_dist=cfg.max_dist, tq=256)
+    rng = np.random.RandomState(7)
+    B, n = 3, 500
+    sources = np.stack(
+        [pts[rng.choice(len(pts), n, replace=False)] + off
+         for off in ([0.04, -0.02, 0.06], [-0.03, 0.05, 0.02], [0.0, 0.0, 0.1])]
+    ).astype(np.float32)
+    weights = jnp.ones((B, n), jnp.float32)
+    init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+
+    Ts_b, diag_b = fused_voxel_align_batched(
+        vm, jnp.asarray(sources), weights, init_Ts, cfg, spec, interpret=True
+    )
+    for b in range(B):
+        T_1, diag_1 = fused_voxel_align(
+            vm, sources[b], weights[b], jnp.eye(4, dtype=jnp.float32), cfg,
+            spec, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(Ts_b)[b], np.asarray(T_1), atol=1e-5
+        )
+        assert int(diag_b.iterations[b]) == int(diag_1.iterations)
+        assert bool(diag_b.converged[b]) == bool(diag_1.converged)
