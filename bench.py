@@ -153,13 +153,46 @@ def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
         return min(ts)
 
     n = int(map_pts.shape[0])
-    t_build = best(lambda: build_voxel_map(map_pts, voxel_size, min_points=10, rich="normals"))
+    t_build_wall = best(
+        lambda: build_voxel_map(map_pts, voxel_size, min_points=10, rich="normals")
+    )
     vm = build_voxel_map(map_pts, voxel_size, min_points=10, rich="normals")
     d_total = int(vm.means.shape[0])
+
+    # device-amortized build: the two build programs in an on-device loop
+    # (the wall number above additionally carries the tunnel roundtrips)
+    from point_cloud_registration_tpu.ops.hashgrid import _bbox_cells
+    from point_cloud_registration_tpu.ops.knn import DENSE_BLOCK
+    from point_cloud_registration_tpu.ops.voxelize import (
+        _build_voxel_map_dense,
+        _dense_blocks_jit,
+    )
+
+    lo, hi = _bbox_cells(map_pts, voxel_size)
+    dims = tuple(int(x) for x in (hi - lo + 1))
+    nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
+    origin = jnp.asarray(lo, jnp.int32)
+    dev_map = jnp.asarray(map_pts)
+    BREP = 6
+
+    @jax.jit
+    def build_loop(pts):
+        def body(i, acc):
+            vm_i = _build_voxel_map_dense(
+                pts + acc * 0, origin, jnp.float32(voxel_size),
+                dims_static=dims, min_points=10, with_icov=False,
+                with_normals=True,
+            )
+            blk = _dense_blocks_jit(vm_i.means, vm_i.valid, dims, nb, vm_i.normals)
+            return acc + blk[0, 0, 0, 0] * 1e-20
+        return jax.lax.fori_loop(0, BREP, body, 0.0)
+
+    t_build = best(lambda: build_loop(dev_map)) / BREP
     table_bytes = int(np.prod(vm.dense_blocks.shape)) * 4
     build_bytes = n * 40 * 4 + d_total * 23 * 4 * 2 + table_bytes
     out = {
         "build_s": round(t_build, 4),
+        "build_wall_s": round(t_build_wall, 4),
         "build_gbs": round(build_bytes / t_build / 1e9, 1),
         "build_hbm_pct": round(100 * build_bytes / t_build / 1e9 / V5E_HBM_GBS, 1),
     }

@@ -143,6 +143,29 @@ def main():
     dT = np.abs(np.asarray(T_ours) - np.asarray(T_ref)).max()
     print(f"{'PlaneICP':12s} {t_ref:12.3f} {t_ours:10.3f} {t_ref / t_ours:7.1f}x {dT:9.5f}")
 
+    # PlaneICP with SHARED normals (the reference's own normal field injected
+    # into our solver): isolates solver-trajectory parity from normal-field
+    # differences at full bench scale.
+    p_shared = pcr.PlaneICP(**params, k=15)
+    p_shared.set_target(map_dev, kdree="precomputed", norm=np.asarray(normals_np))
+    T_shared = p_shared.align(scan_dev)
+    dT_shared = np.abs(np.asarray(T_shared) - np.asarray(T_ref)).max()
+    print(f"PlaneICP shared-normals |dT|max: {dT_shared:.6f}")
+
+    # k-NN exactness at bench scale: fraction of sampled points whose k-th
+    # neighbor distance matches the reference kd-tree's (the one knob where
+    # the packed-window search is approximate; normals quality rides on it).
+    from point_cloud_registration_tpu.ops.normals import sample_knn_radius
+    from point_cloud_registration_tpu.ops.pointgrid import build_packed_grid, knn_packed
+
+    sel = np.random.RandomState(5).randint(0, len(map_np), size=50_000)
+    cell = max(sample_knn_radius(map_dev, 15), 1e-3)
+    pg = build_packed_grid(map_dev, cell, cap=45)
+    d_ours, _ = knn_packed(pg, map_dev[jnp.asarray(sel)], 15)
+    d_ref, _ = tree.query(map_np[sel].astype(np.float32), k=15)
+    exact = np.abs(np.asarray(d_ours)[:, -1] - d_ref[:, -1]) < 1e-4
+    print(f"k-NN (k=15) kth-distance exact fraction @50k sample: {exact.mean():.4f}")
+
 
 if __name__ == "__main__":
     main()

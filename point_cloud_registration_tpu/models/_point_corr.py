@@ -183,7 +183,10 @@ def match_points(target: PointCorrTarget, query: jax.Array, corr: Correspondence
     t1 = nearest_point_packed(target.packed, query)
     mask = jnp.logical_not(t1.resolved)
     n_unres = jnp.sum(mask)
-    cap = max(n // 4, 1024)
+    # Tier-2 cost scales with the compaction capacity whether or not slots
+    # are used; past the first iteration unresolved counts are far below
+    # n/16, and the rare >cap iteration falls through to tier 3 anyway.
+    cap = max(n // 16, 1024)
     # the proxy's voxels are the packed blocks: 2 * cell_fine (static)
     cell_fine = corr.cell_fine if corr.cell_fine is not None else max_dist / 4
     proxy_vs = float(2 * cell_fine)
