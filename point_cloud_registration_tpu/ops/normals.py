@@ -36,19 +36,21 @@ def sample_knn_radius(points: jax.Array, k: int, n_sample: int = 256, seed: int 
     points = jnp.asarray(points, jnp.float32)
     n = points.shape[0]
     rng = np.random.RandomState(seed)
-    # randint, not choice(replace=False): the latter permutes all N on the
-    # host (~200 ms at 1.2M) just to draw 256 samples
-    sel = jnp.asarray(rng.randint(0, n, size=min(n_sample, n)))
+    m_sub = 1 << 17
+    big = n > 2 * m_sub
+    # For big clouds, randint (with replacement): choice(replace=False)
+    # permutes all N on the host (~200 ms at 1.2M) just to draw samples.
+    if big:
+        sel = jnp.asarray(rng.randint(0, n, size=min(n_sample, n)))
+    else:
+        sel = jnp.asarray(rng.choice(n, size=min(n_sample, n), replace=False))
     queries = points[sel]
-    # For big clouds, estimate against a reference SUBSAMPLE: expected
+    # Big clouds also estimate against a reference SUBSAMPLE: expected
     # neighbor counts within r scale linearly with sample size, so the
     # ceil(k*M/N)-th NN radius in an M-subsample matches (slightly
     # overestimates — the safe direction, it only widens the window) the
     # k-th radius in the full cloud, at a fraction of the distance work.
-    # Subsample WITH replacement (randint): a host-side 1.2M permutation
-    # for choice(replace=False) costs more than the device work it saves.
-    m_sub = 1 << 17
-    if n > 2 * m_sub:
+    if big:
         ref_sel = jnp.asarray(rng.randint(0, n, size=m_sub))
         refs = points[ref_sel]
         k_eff = max(2, int(np.ceil(k * m_sub / n)))
