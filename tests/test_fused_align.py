@@ -232,3 +232,35 @@ def test_fused_batched_matches_per_problem(scene):
         )
         assert int(diag_b.iterations[b]) == int(diag_1.iterations)
         assert bool(diag_b.converged[b]) == bool(diag_1.converged)
+
+
+def test_fused_batched_ndt(scene):
+    """Batched stream parity for the whitened (NDT) kind."""
+    from point_cloud_registration_tpu.core.config import NDTConfig
+    from point_cloud_registration_tpu.models._fused import (
+        fused_voxel_align,
+        fused_voxel_align_batched,
+    )
+
+    pts, scan = scene
+    cfg = NDTConfig(voxel_size=1.0, min_points=5)
+    vm = build_voxel_map(pts, 1.0, min_points=5, with_icov=True, rich="sqrt_icov")
+    spec = voxel_fused_spec(vm, "ndt", max_dist=cfg.max_dist, tq=256)
+    rng = np.random.RandomState(11)
+    B, n = 2, 400
+    sources = np.stack(
+        [pts[rng.choice(len(pts), n, replace=False)] + off
+         for off in ([0.03, -0.04, 0.05], [-0.02, 0.02, 0.08])]
+    ).astype(np.float32)
+    weights = jnp.ones((B, n), jnp.float32)
+    init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+    Ts_b, diag_b = fused_voxel_align_batched(
+        vm, jnp.asarray(sources), weights, init_Ts, cfg, spec, interpret=True
+    )
+    for b in range(B):
+        T_1, diag_1 = fused_voxel_align(
+            vm, sources[b], weights[b], jnp.eye(4, dtype=jnp.float32), cfg,
+            spec, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(Ts_b)[b], np.asarray(T_1), atol=1e-5)
+        assert int(diag_b.iterations[b]) == int(diag_1.iterations)
