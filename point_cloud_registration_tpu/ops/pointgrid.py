@@ -126,25 +126,28 @@ def _pack(points, bkeys, order, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
     rank = arange - seg_start
 
     nb_total = int(np.prod(nb_dims))
-    # write each block's packed-row id at its key (only first-of-block writes)
+    # Block<->row maps from the ~n_occ run starts only (compacted via
+    # nonzero), not an N-row scatter: row r's start is the r-th new_block
+    # position, so row_key needs NO scatter at all and block_row a small one.
+    starts = jnp.nonzero(new_block, size=r_cap + 1, fill_value=n)[0]
+    n_occ = jnp.sum(new_block).astype(jnp.int32)
+    live_row = jnp.arange(r_cap + 1, dtype=jnp.int32) < n_occ
+    key_at = skeys[jnp.clip(starts, 0, max(n - 1, 0))]
+    row_key = jnp.where(live_row, key_at, jnp.int32(-1))
     block_row = jnp.full((nb_total,), -1, jnp.int32).at[
-        jnp.where(new_block, skeys, nb_total)
-    ].set(row, mode="drop")
-    row_key = jnp.full((r_cap + 1,), -1, jnp.int32).at[
-        jnp.where(new_block, row, r_cap + 1)
-    ].set(skeys, mode="drop")
+        jnp.where(live_row, key_at, jnp.int32(nb_total))
+    ].set(jnp.arange(r_cap + 1, dtype=jnp.int32), mode="drop")
 
     keep = rank < cap
-    flat_pts = jnp.full(((r_cap + 1) * cap * 3,), jnp.inf, jnp.float32)
-    oob = jnp.int32((r_cap + 1) * cap * 3)
-    base = row * (cap * 3) + rank * 3
     src = points[order]
-    for c in range(3):
-        tgt = jnp.where(keep, base + c, oob)
-        flat_pts = flat_pts.at[tgt].set(src[:, c], mode="drop")
+    # ONE (N, 3)-row scatter (xyz rows are contiguous in the packed layout:
+    # col = rank*3..rank*3+2), ~3x cheaper than three element scatters —
+    # TPU scatter cost is per ROW.
+    slot = jnp.where(keep, row * cap + rank, jnp.int32((r_cap + 1) * cap))
+    pts_rows = jnp.full(((r_cap + 1) * cap, 3), jnp.inf, jnp.float32)
+    pts_rows = pts_rows.at[slot].set(src, mode="drop")
     flat_idx = jnp.full(((r_cap + 1) * cap,), -1, jnp.int32)
-    tgt = jnp.where(keep, row * cap + rank, jnp.int32((r_cap + 1) * cap))
-    flat_idx = flat_idx.at[tgt].set(order.astype(jnp.int32), mode="drop")
+    flat_idx = flat_idx.at[slot].set(order.astype(jnp.int32), mode="drop")
 
     return PackedPointGrid(
         origin_fine=origin_fine,
@@ -152,7 +155,7 @@ def _pack(points, bkeys, order, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
         nb_dims=jnp.asarray(nb_dims, jnp.int32),
         block_row=block_row,
         row_key=row_key,
-        pts_packed=flat_pts.reshape(r_cap + 1, cap * 3),
+        pts_packed=pts_rows.reshape(r_cap + 1, cap * 3),
         idx_packed=flat_idx.reshape(r_cap + 1, cap),
     )
 
