@@ -264,3 +264,21 @@ def test_fused_batched_ndt(scene):
         )
         np.testing.assert_allclose(np.asarray(Ts_b)[b], np.asarray(T_1), atol=1e-5)
         assert int(diag_b.iterations[b]) == int(diag_1.iterations)
+
+
+def test_bf16x3_split_lossless():
+    """The kernel's 3-way bf16 split must reconstruct f32 bit-for-bit
+    (the exactness premise of the one-hot gather fast path)."""
+    rng = np.random.RandomState(0)
+    for scale in (1.0, 1e-3, 300.0, 1e6):
+        v = jnp.asarray((rng.randn(20000) * scale).astype(np.float32))
+        hi = v.astype(jnp.bfloat16)
+        r1 = v - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        rec = (
+            hi.astype(jnp.float32)
+            + mid.astype(jnp.float32)
+            + lo.astype(jnp.float32)
+        )
+        np.testing.assert_array_equal(np.asarray(rec), np.asarray(v))
