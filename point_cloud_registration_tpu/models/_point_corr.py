@@ -78,14 +78,26 @@ def proxy_from_packed(pg, *, min_points: int, with_normals: bool) -> VoxelMap:
     of overflowing blocks — irrelevant for a far-match proxy.
     """
     from point_cloud_registration_tpu.ops.knn import DENSE_BLOCK
-    from point_cloud_registration_tpu.ops.voxelize import _build_blocks_jit
 
     nb_dims = tuple(int(x) for x in jax.device_get(pg.nb_dims))
-    vm = _proxy_stats(pg, min_points=min_points, with_normals=with_normals,
-                      nb_dims_static=nb_dims)
     nb2 = tuple(-(-d // b) for d, b in zip(nb_dims, DENSE_BLOCK))
-    blocks = _build_blocks_jit(vm.grid, vm.means, vm.valid, nb2)
-    return vm._replace(dense_blocks=blocks, nb_dims=jnp.asarray(nb2, jnp.int32))
+    vm = _proxy_stats_blocks(
+        pg, min_points=min_points, with_normals=with_normals,
+        nb_dims_static=nb_dims, nb2_static=nb2,
+    )
+    return vm._replace(nb_dims=np.asarray(nb2, np.int32))
+
+
+@partial(jax.jit, static_argnames=("min_points", "with_normals", "nb_dims_static", "nb2_static"))
+def _proxy_stats_blocks(pg, *, min_points, with_normals, nb_dims_static, nb2_static):
+    """Proxy stats + blocked query table as ONE program (degraded-tunnel
+    periods serialize even pipelined dispatches)."""
+    from point_cloud_registration_tpu.ops.knn import build_dense_blocks
+
+    vm = _proxy_stats(pg, min_points=min_points, with_normals=with_normals,
+                      nb_dims_static=nb_dims_static)
+    blocks = build_dense_blocks(vm.grid, vm.means, vm.valid, nb2_static)
+    return vm._replace(dense_blocks=blocks)
 
 
 @partial(jax.jit, static_argnames=("min_points", "with_normals", "nb_dims_static"))

@@ -77,8 +77,9 @@ def build_packed_grid(points, cell_fine: float, cap: int = 32) -> PackedPointGri
     if nb_total >= np.iinfo(np.int32).max:
         raise ValueError("block grid exceeds int32 keyspace; increase cell_fine")
 
-    bkeys = _block_keys(points, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine), nb_dims)
-    order, n_occ_dev = _sort_and_count(bkeys)
+    bkeys, order, n_occ_dev = _keys_sort_count(
+        points, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine), nb_dims
+    )
     n_occ = int(jax.device_get(n_occ_dev))
     r_cap = 1 << max(0, (n_occ - 1).bit_length())
 
@@ -113,6 +114,16 @@ def _sort_and_count(keys):
     order = jnp.argsort(keys, stable=True)
     s = keys[order]
     return order.astype(jnp.int32), jnp.sum(s[1:] != s[:-1]) + 1
+
+
+@partial(jax.jit, static_argnames=("nb_dims",))
+def _keys_sort_count(points, origin_fine, cell_fine, nb_dims):
+    """Keys + sort + occupied count as ONE program: in degraded
+    remote-tunnel periods even pipelined dispatches serialize, so the
+    pre-sync half of the build is a single round trip."""
+    bkeys = _block_keys(points, origin_fine, cell_fine, nb_dims)
+    order, n_occ = _sort_and_count(bkeys)
+    return bkeys, order, n_occ
 
 
 @partial(jax.jit, static_argnames=("nb_dims", "r_cap", "cap"))
