@@ -693,8 +693,9 @@ def voxel_filter(points, voxel_size: float) -> np.ndarray:
     counts, means, _ = _segment_stats_jit(
         points, inverse, capacity, corner, _slot_corners(grid), with_covs=False
     )
-    n_cells = int(jax.device_get(grid.n_cells))
-    return np.asarray(jax.device_get(means))[:n_cells].astype(np.float32)
+    # one combined sync (each device_get is a full tunnel roundtrip)
+    n_cells, means_np = jax.device_get((grid.n_cells, means))
+    return np.asarray(means_np)[: int(n_cells)].astype(np.float32)
 
 
 def color_by_voxel(points, voxel_size: float) -> np.recarray:
