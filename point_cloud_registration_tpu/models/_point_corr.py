@@ -29,9 +29,14 @@ from point_cloud_registration_tpu.ops.hashgrid import Buckets, Grid, build_grid,
 from point_cloud_registration_tpu.ops.knn import nearest_point
 from point_cloud_registration_tpu.ops.pointgrid import (
     PackedPointGrid,
-    build_packed_grid,
     nearest_point_packed,
+    proxy_stats_from_packed,
 )
+
+_proxy_stats_jit = partial(
+    jax.jit,
+    static_argnames=("min_points", "with_normals", "nb_dims_static", "nb2_static"),
+)(proxy_stats_from_packed)
 from point_cloud_registration_tpu.ops.voxelize import (
     VoxelMap,
     build_voxel_map,
@@ -53,13 +58,18 @@ class PointCorrTarget(NamedTuple):
 
 def build_point_corr(points, corr: CorrespondenceConfig, max_dist: float,
                      *, proxy_min_points: int = 1, proxy_normals: bool = False) -> PointCorrTarget:
+    raw = points  # keep the NumPy input for the host-side bounding box
     points = jnp.asarray(points, jnp.float32)
     method = corr.resolved_method(points.shape[0])
     if method == "packed":
+        from point_cloud_registration_tpu.ops.pointgrid import (
+            build_packed_grid_and_proxy,
+        )
+
         cell_fine = corr.cell_fine if corr.cell_fine is not None else max_dist / 4
-        pg = build_packed_grid(points, cell_fine, cap=corr.packed_cap)
-        proxy = proxy_from_packed(
-            pg, min_points=proxy_min_points, with_normals=proxy_normals
+        pg, proxy = build_packed_grid_and_proxy(
+            raw, cell_fine, cap=corr.packed_cap,
+            min_points=proxy_min_points, with_normals=proxy_normals,
         )
         return PointCorrTarget(points=points, packed=pg, proxy=proxy, grid=None, buckets=None)
     cell = corr.cell_size if corr.cell_size is not None else max_dist / 2
@@ -76,80 +86,20 @@ def proxy_from_packed(pg, *, min_points: int, with_normals: bool) -> VoxelMap:
     reductions over the packed rows: 131k-row elementwise work instead of a
     second 1.2M-point scatter. Statistics see only the first ``cap`` points
     of overflowing blocks — irrelevant for a far-match proxy.
+
+    Standalone entry point over :func:`ops.pointgrid.proxy_stats_from_packed`
+    (the fused build in ``build_point_corr`` traces the same function inside
+    the pack program instead).
     """
     from point_cloud_registration_tpu.ops.knn import DENSE_BLOCK
 
     nb_dims = tuple(int(x) for x in jax.device_get(pg.nb_dims))
     nb2 = tuple(-(-d // b) for d, b in zip(nb_dims, DENSE_BLOCK))
-    vm = _proxy_stats_blocks(
+    vm = _proxy_stats_jit(
         pg, min_points=min_points, with_normals=with_normals,
         nb_dims_static=nb_dims, nb2_static=nb2,
     )
     return vm._replace(nb_dims=np.asarray(nb2, np.int32))
-
-
-@partial(jax.jit, static_argnames=("min_points", "with_normals", "nb_dims_static", "nb2_static"))
-def _proxy_stats_blocks(pg, *, min_points, with_normals, nb_dims_static, nb2_static):
-    """Proxy stats + blocked query table as ONE program (degraded-tunnel
-    periods serialize even pipelined dispatches)."""
-    from point_cloud_registration_tpu.ops.knn import build_dense_blocks
-
-    vm = _proxy_stats(pg, min_points=min_points, with_normals=with_normals,
-                      nb_dims_static=nb_dims_static)
-    blocks = build_dense_blocks(vm.grid, vm.means, vm.valid, nb2_static)
-    return vm._replace(dense_blocks=blocks)
-
-
-@partial(jax.jit, static_argnames=("min_points", "with_normals", "nb_dims_static"))
-def _proxy_stats(pg, *, min_points, with_normals, nb_dims_static):
-    from point_cloud_registration_tpu.ops.eigh3 import smallest_eigvec_sym3
-    from point_cloud_registration_tpu.ops.hashgrid import Grid
-
-    r1 = pg.pts_packed.shape[0]
-    cap = pg.idx_packed.shape[1]
-    pts = pg.pts_packed.reshape(r1, cap, 3)
-    mask = jnp.isfinite(pts[..., 0])
-    cnt = jnp.sum(mask, axis=1).astype(jnp.int32)  # (R+1,)
-    safe = jnp.where(mask[..., None], pts, 0.0)
-    denom = jnp.maximum(cnt, 1).astype(jnp.float32)[:, None]
-    means = jnp.sum(safe, axis=1) / denom
-    if with_normals:
-        centered = jnp.where(mask[..., None], pts - means[:, None, :], 0.0)
-        cov6 = jnp.stack(
-            [
-                jnp.sum(centered[..., 0] * centered[..., 0], axis=1),
-                jnp.sum(centered[..., 1] * centered[..., 1], axis=1),
-                jnp.sum(centered[..., 2] * centered[..., 2], axis=1),
-                jnp.sum(centered[..., 0] * centered[..., 1], axis=1),
-                jnp.sum(centered[..., 0] * centered[..., 2], axis=1),
-                jnp.sum(centered[..., 1] * centered[..., 2], axis=1),
-            ],
-            axis=-1,
-        ) / jnp.maximum(cnt - 1, 1).astype(jnp.float32)[:, None]
-        normals = smallest_eigvec_sym3(cov6)
-    else:
-        cov6 = jnp.zeros((r1, 6), jnp.float32)
-        normals = jnp.zeros((r1, 3), jnp.float32)
-    valid = cnt >= min_points
-    grid = Grid(
-        origin_cell=pg.origin_fine // 2,
-        cell_size=pg.cell_fine * 2.0,
-        dims=jnp.asarray(nb_dims_static, jnp.int32),
-        keys=pg.row_key,
-        n_cells=jnp.sum(cnt > 0).astype(jnp.int32),
-        dense=pg.block_row,
-    )
-    return VoxelMap(
-        grid=grid,
-        means=means,
-        covs=cov6,
-        normals=normals,
-        counts=cnt,
-        valid=valid,
-        icovs=None,
-        dense_blocks=None,
-        nb_dims=None,
-    )
 
 
 class PointMatch(NamedTuple):

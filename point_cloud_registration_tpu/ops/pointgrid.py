@@ -171,6 +171,117 @@ def _pack(points, bkeys, order, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
     )
 
 
+def proxy_stats_from_packed(pg: PackedPointGrid, *, min_points: int,
+                            with_normals: bool, nb_dims_static, nb2_static):
+    """Coarse proxy voxel map derived from the packed tables (a packed block
+    IS an absolute voxel of size ``2 * cell_fine``; see
+    models/_point_corr.proxy_from_packed for the original derivation) —
+    per-block count/mean/cov reductions over the packed rows plus the
+    blocked query table, traceable inside one program.
+    """
+    from point_cloud_registration_tpu.ops.eigh3 import smallest_eigvec_sym3
+    from point_cloud_registration_tpu.ops.hashgrid import Grid
+    from point_cloud_registration_tpu.ops.knn import build_dense_blocks
+    from point_cloud_registration_tpu.ops.voxelize import VoxelMap
+
+    r1 = pg.pts_packed.shape[0]
+    cap = pg.idx_packed.shape[1]
+    pts = pg.pts_packed.reshape(r1, cap, 3)
+    mask = jnp.isfinite(pts[..., 0])
+    cnt = jnp.sum(mask, axis=1).astype(jnp.int32)  # (R+1,)
+    safe = jnp.where(mask[..., None], pts, 0.0)
+    denom = jnp.maximum(cnt, 1).astype(jnp.float32)[:, None]
+    means = jnp.sum(safe, axis=1) / denom
+    if with_normals:
+        centered = jnp.where(mask[..., None], pts - means[:, None, :], 0.0)
+        cov6 = jnp.stack(
+            [
+                jnp.sum(centered[..., 0] * centered[..., 0], axis=1),
+                jnp.sum(centered[..., 1] * centered[..., 1], axis=1),
+                jnp.sum(centered[..., 2] * centered[..., 2], axis=1),
+                jnp.sum(centered[..., 0] * centered[..., 1], axis=1),
+                jnp.sum(centered[..., 0] * centered[..., 2], axis=1),
+                jnp.sum(centered[..., 1] * centered[..., 2], axis=1),
+            ],
+            axis=-1,
+        ) / jnp.maximum(cnt - 1, 1).astype(jnp.float32)[:, None]
+        normals = smallest_eigvec_sym3(cov6)
+    else:
+        cov6 = jnp.zeros((r1, 6), jnp.float32)
+        normals = jnp.zeros((r1, 3), jnp.float32)
+    valid = cnt >= min_points
+    grid = Grid(
+        origin_cell=pg.origin_fine // 2,
+        cell_size=pg.cell_fine * 2.0,
+        dims=jnp.asarray(nb_dims_static, jnp.int32),
+        keys=pg.row_key,
+        n_cells=jnp.sum(cnt > 0).astype(jnp.int32),
+        dense=pg.block_row,
+    )
+    vm = VoxelMap(
+        grid=grid,
+        means=means,
+        covs=cov6,
+        normals=normals,
+        counts=cnt,
+        valid=valid,
+        icovs=None,
+        dense_blocks=None,
+        nb_dims=None,
+    )
+    blocks = build_dense_blocks(vm.grid, vm.means, vm.valid, nb2_static)
+    return vm._replace(dense_blocks=blocks)
+
+
+@partial(jax.jit, static_argnames=(
+    "nb_dims", "r_cap", "cap", "min_points", "with_normals", "nb2_static"))
+def _pack_with_proxy(points, bkeys, order, origin_fine, cell_fine, *,
+                     nb_dims, r_cap, cap, min_points, with_normals, nb2_static):
+    pg = _pack(points, bkeys, order, origin_fine, cell_fine,
+               nb_dims=nb_dims, r_cap=r_cap, cap=cap)
+    proxy = proxy_stats_from_packed(
+        pg, min_points=min_points, with_normals=with_normals,
+        nb_dims_static=nb_dims, nb2_static=nb2_static,
+    )
+    return pg, proxy
+
+
+def build_packed_grid_and_proxy(points, cell_fine: float, cap: int,
+                                *, min_points: int, with_normals: bool):
+    """Packed tables + coarse proxy voxel map in TWO programs + ONE sync
+    (keys/sort/count, then pack+proxy fused — degraded remote-tunnel periods
+    serialize even pipelined dispatches, so program count matters there).
+    """
+    from point_cloud_registration_tpu.ops.knn import DENSE_BLOCK
+
+    lo_cell, hi_cell = _bbox_cells(points, cell_fine)  # NumPy input: no sync
+    points = jnp.asarray(points, jnp.float32)
+    lo_cell = (lo_cell // _BLOCK) * _BLOCK
+    dims_f = hi_cell - lo_cell + 1
+    nb_dims = tuple(int(-(-d // _BLOCK)) for d in dims_f)
+    nb_total = int(np.prod(nb_dims))
+    if nb_total >= np.iinfo(np.int32).max:
+        raise ValueError("block grid exceeds int32 keyspace; increase cell_fine")
+    bkeys, order, n_occ_dev = _keys_sort_count(
+        points, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine), nb_dims
+    )
+    n_occ = int(jax.device_get(n_occ_dev))
+    r_cap = 1 << max(0, (n_occ - 1).bit_length())
+    nb2 = tuple(-(-d // b) for d, b in zip(nb_dims, DENSE_BLOCK))
+    pg, proxy = _pack_with_proxy(
+        points, bkeys, order, jnp.asarray(lo_cell, jnp.int32),
+        jnp.float32(cell_fine), nb_dims=nb_dims, r_cap=r_cap, cap=cap,
+        min_points=min_points, with_normals=with_normals, nb2_static=nb2,
+    )
+    pg = pg._replace(
+        origin_fine=np.asarray(lo_cell, np.int32),
+        cell_fine=np.float32(cell_fine),
+        nb_dims=np.asarray(nb_dims, np.int32),
+    )
+    proxy = proxy._replace(nb_dims=np.asarray(nb2, np.int32))
+    return pg, proxy
+
+
 def nearest_point_packed(pg: PackedPointGrid, query: jax.Array) -> PointNN:
     """Tier-1 nearest raw point via 8 fat block gathers (see module doc)."""
     cap = pg.cap
