@@ -63,14 +63,18 @@ class NeighborIndex:
             if small:
                 res = knn_ops.brute_force_nn(q, self.points)
                 return np.asarray(jax.device_get(res.dist)), np.asarray(jax.device_get(res.idx))
-            res = knn_ops.nearest_point(
-                self.grid, self.buckets, self.points, q, self._offsets, cap=self.cell_cap
+            res, over = knn_ops.nearest_point(
+                self.grid, self.buckets, self.points, q, self._offsets,
+                cap=self.cell_cap, with_overflow=True,
             )
             dist = np.array(jax.device_get(res.dist))
             idx = np.array(jax.device_get(res.idx))
-            # Exactness escape hatch: a best match farther than one cell is not
-            # provably the true nearest (the window covers radius cell_size).
-            unres = ~(dist < self.cell_size)
+            # Exactness escape hatch: a best match farther than one cell is
+            # not provably the true nearest (the window covers radius
+            # cell_size) — and neither is a sub-cell match whose window
+            # touched a cell holding more than cell_cap points (the true
+            # nearest may sit past the cap).
+            unres = ~(dist < self.cell_size) | np.asarray(jax.device_get(over))
             if unres.any():
                 sub = knn_ops.brute_force_nn(q[np.where(unres)[0]], self.points)
                 dist[unres] = np.asarray(jax.device_get(sub.dist))
@@ -79,13 +83,15 @@ class NeighborIndex:
         if small or k > self.radius_k:
             d, i = knn_ops.brute_force_knn(q, self.points, k=k)
             return np.asarray(jax.device_get(d)), np.asarray(jax.device_get(i))
-        d, i = knn_ops.knn_points(
-            self.grid, self.buckets, self.points, q, self._offsets, cap=self.cell_cap, k=k
+        d, i, over = knn_ops.knn_points(
+            self.grid, self.buckets, self.points, q, self._offsets,
+            cap=self.cell_cap, k=k, with_overflow=True,
         )
         d = np.array(jax.device_get(d))
         i = np.array(jax.device_get(i))
-        # k-th neighbor beyond one cell -> window coverage unproven: re-search.
-        unres = ~(d[:, k - 1] < self.cell_size)
+        # k-th neighbor beyond one cell -> window coverage unproven; a
+        # cap-overflowing window cell likewise hides candidates: re-search.
+        unres = ~(d[:, k - 1] < self.cell_size) | np.asarray(jax.device_get(over))
         if unres.any():
             rows = np.where(unres)[0]
             sd, si = knn_ops.brute_force_knn(q[rows], self.points, k=k)
@@ -204,12 +210,17 @@ class VoxelGrid:
         m = self.voxel_map
         q = jnp.asarray(points, dtype=jnp.float32)
         md = float(max_dist) if max_dist is not None else self.query_max_dist
+        md_eff = max(md, self.voxel_size)
         res = query_nearest_voxel(
-            m, q, voxel_size=self.voxel_size, max_dist=max(md, self.voxel_size)
+            m, q, voxel_size=self.voxel_size, max_dist=md_eff
         )
         dist = np.array(jax.device_get(res.dist))
         idx = np.array(jax.device_get(res.idx))
-        unres = ~np.isfinite(dist)
+        # The window provably covers the true nearest only within md_eff; a
+        # finite find beyond it can be a window-corner artifact while a
+        # closer voxel sits just outside the probed cells — re-search those
+        # exactly too, not only the inf misses.
+        unres = ~(dist < md_eff)
         if unres.any():
             rows = np.where(unres)[0]
             sub = knn_ops.brute_force_nn(q[rows], m.means, ref_valid=m.valid)

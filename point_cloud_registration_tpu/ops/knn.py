@@ -141,8 +141,16 @@ def nearest_voxel_blocks(
     radius_near: int,
     radius_full: int,
     fixed_tiers: bool = False,
+    full_window: bool = False,
 ) -> NNResult:
     """Nearest-voxel query against a blocked dense centroid table.
+
+    ``full_window`` probes the ``radius_full`` window for EVERY query in one
+    pass — no tiers, no compaction capacity. Required when most queries are
+    expected unresolved (e.g. sharded-map slabs, where a query's true voxel
+    usually lives on another shard and the compacted tier would silently
+    overflow); with the (4, 8, 4) block the full window is the same 8 block
+    probes as the near pass, so this costs no extra gathers.
 
     ``dense_blocks`` is (nby, nbz8, nbx, row_w) in *planar* layout —
     entry [bz, by, bx] holds that block's cell centroids as
@@ -214,6 +222,10 @@ def nearest_voxel_blocks(
                     best_d2 = jnp.where(better, d2m, best_d2)
                     best_key = jnp.where(better, key, best_key)
         return best_d2, best_key
+
+    if full_window:
+        best_d2, best_key = block_pass(query, rel, radius_full)
+        return NNResult(dist=jnp.sqrt(best_d2), idx=best_key)
 
     best_d2, best_key = block_pass(query, rel, radius_near)
 
@@ -402,13 +414,18 @@ def nearest_point(
     query: jax.Array,
     offsets: np.ndarray | jax.Array,
     cap: int,
+    with_overflow: bool = False,
 ) -> NNResult:
     """Gated 1-NN over raw points via CSR buckets.
 
     ``cap`` bounds candidates scanned per cell (fixed shapes); cells holding
     more points contribute only their first ``cap`` entries in insertion
     order — the accuracy/throughput dial quantified in tests against
-    :func:`brute_force_nn`.
+    :func:`brute_force_nn`. With ``with_overflow`` additionally returns a
+    per-query bool marking queries whose window touched a cell holding more
+    than ``cap`` points — for those the result is NOT provably exact even
+    inside the covering radius (the true nearest may sit past the cap), so
+    exactness-contract callers re-search them.
     """
     offsets = jnp.asarray(offsets, jnp.int32)
     keys = _query_cell_keys(grid, query, offsets)  # (K, N)
@@ -416,10 +433,12 @@ def nearest_point(
     n_pts = points.shape[0]
 
     def step(carry, key_row):
+        best_d2_c, best_idx_c, over_c = carry
         slot = lookup_slots(grid, key_row)
         safe_slot = jnp.clip(slot, 0, buckets.starts.shape[0] - 1)
         start = buckets.starts[safe_slot]
         count = jnp.where(slot >= 0, buckets.counts[safe_slot], 0)
+        over_c = jnp.logical_or(over_c, count > cap)
 
         def inner(j, c):
             best_d2, best_idx = c
@@ -434,13 +453,20 @@ def nearest_point(
                 jnp.where(better, pidx, best_idx),
             )
 
-        carry = jax.lax.fori_loop(0, cap, inner, carry)
-        return carry, None
+        best_d2_c, best_idx_c = jax.lax.fori_loop(0, cap, inner, (best_d2_c, best_idx_c))
+        return (best_d2_c, best_idx_c, over_c), None
 
     # Carry derived from the query for vma-type stability (see nearest_voxel).
-    init = (query[:, 0] * 0 + _BIG, jnp.zeros_like(query[:, 0], jnp.int32) - 1)
-    (best_d2, best_idx), _ = jax.lax.scan(step, init, keys)
-    return NNResult(dist=jnp.sqrt(best_d2), idx=best_idx)
+    init = (
+        query[:, 0] * 0 + _BIG,
+        jnp.zeros_like(query[:, 0], jnp.int32) - 1,
+        query[:, 0] > _BIG,  # all-False, query-derived
+    )
+    (best_d2, best_idx, overflow), _ = jax.lax.scan(step, init, keys)
+    res = NNResult(dist=jnp.sqrt(best_d2), idx=best_idx)
+    if with_overflow:
+        return res, overflow
+    return res
 
 
 def knn_points(
@@ -452,6 +478,7 @@ def knn_points(
     cap: int,
     k: int,
     chunk: int = 16384,
+    with_overflow: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """k-NN over raw points: returns ``(dist (N, k), idx (N, k))`` ascending.
 
@@ -460,6 +487,9 @@ def knn_points(
     estimate_normals.py:39, which the reference itself amortizes out of the
     align timing — README.md:48). ``chunk`` bounds the (chunk, K*cap)
     candidate buffer to keep HBM pressure flat for million-point clouds.
+    ``with_overflow`` additionally returns a per-query bool: the window
+    touched a cell with more than ``cap`` points, so the k-NN set is not
+    provably complete even within the covering radius.
     """
     offsets = jnp.asarray(offsets, jnp.int32)
     n = query.shape[0]
@@ -488,9 +518,16 @@ def knn_points(
         neg_top, arg = jax.lax.top_k(-d2, k)
         top_idx = jnp.take_along_axis(pidx, arg, axis=-1)
         top_idx = jnp.where(jnp.isfinite(neg_top), top_idx, -1)
-        return jnp.sqrt(-neg_top), top_idx
+        over = jnp.any(count > cap, axis=0)  # (chunk,)
+        return jnp.sqrt(-neg_top), top_idx, over
 
-    dists, idxs = jax.lax.map(one_chunk, qchunks)
+    dists, idxs, overs = jax.lax.map(one_chunk, qchunks)
+    if with_overflow:
+        return (
+            dists.reshape(n_pad, k)[:n],
+            idxs.reshape(n_pad, k)[:n],
+            overs.reshape(n_pad)[:n],
+        )
     return dists.reshape(n_pad, k)[:n], idxs.reshape(n_pad, k)[:n]
 
 

@@ -8,8 +8,8 @@ icp.py:24-57, plane_icp.py:30-69, ndt.py:24-57). In XLA form the search is
 gather-row-bound (~60 ns per fetched row); this kernel removes the gathers
 entirely:
 
-* the scan is Morton-sorted ONCE per align (rigid motion preserves spatial
-  locality, so the sort stays valid for every iteration);
+* the scan is band-sorted ONCE per align (rigid motion preserves spatial
+  locality, so the layout stays valid for every iteration);
 * each tile of ``tq`` consecutive queries shares one compact spatial
   *region* of the planar block table, fetched HBM->VMEM with a single
   strided DMA;
@@ -29,7 +29,7 @@ intermediate (N, k) candidate tensors.
 Exactness: the probe window statically covers every cell within
 ``radius`` cells of the query, so for the voxel kinds (radius covers
 ``max_dist``) a found match is the true gated nearest voxel. Queries whose
-window exceeds the tile's clamped region (Morton-seam stragglers) and — for
+window exceeds the tile's clamped region (band-seam stragglers) and — for
 the point kinds — queries whose best match is beyond the provable radius
 are flagged ``unresolved`` and excluded from the stats; the caller re-solves
 them on a compacted XLA path and adds their contribution.
@@ -175,20 +175,6 @@ def default_region(nb_dims: tuple[int, int, int], spans: tuple[int, int, int],
     )
 
 
-def morton_code(c: jax.Array) -> jax.Array:
-    """Interleave 10 bits/axis of (N, 3) non-negative int coords -> (N,) i32."""
-
-    def spread(x):
-        x = x & 0x3FF
-        x = (x | (x << 16)) & 0x030000FF
-        x = (x | (x << 8)) & 0x0300F00F
-        x = (x | (x << 4)) & 0x030C30C3
-        x = (x | (x << 2)) & 0x09249249
-        return x
-
-    return spread(c[:, 0]) | (spread(c[:, 1]) << 1) | (spread(c[:, 2]) << 2)
-
-
 def band_height(spec: FusedSpec) -> int:
     """Window-origin rows per y-band: a band of ``RY - span_y + 1`` rows plus
     its window provably fits the RY-row region anchored at the band start."""
@@ -235,11 +221,20 @@ def band_layout(spec: FusedSpec, q0: jax.Array):
     lo_x = jnp.floor_divide(cellx - (ox0 + spec.radius), bx)
     lo_z = jnp.floor_divide(cellz - (oz0 + spec.radius), bz)
     band = jnp.clip((lo_y + 1) // bh, 0, nb_b - 1)
-    # sort by (band, x, z): int64-safe composite in two i32 stages
-    sort_key = (band * 4096 + jnp.clip(lo_x + 2, 0, 4095)) * 1024 + jnp.clip(
-        lo_z + 2, 0, 1023
-    )
-    order = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
+    # sort by (band, x, z). The composite key (band*4096 + x)*1024 + z
+    # overflows int32 once nb_b >= 512 (y extents beyond ~12k cells), so
+    # huge maps take a two-pass stable radix instead: sort by the minor
+    # (x, z) key, then stably by band. nb_b is a host int — the choice is
+    # static, no traced branching.
+    minor = jnp.clip(lo_x + 2, 0, 4095) * 1024 + jnp.clip(lo_z + 2, 0, 1023)
+    if nb_b < 512:
+        order = jnp.argsort(band * (4096 * 1024) + minor, stable=True).astype(
+            jnp.int32
+        )
+    else:
+        o1 = jnp.argsort(minor, stable=True).astype(jnp.int32)
+        o2 = jnp.argsort(band[o1], stable=True).astype(jnp.int32)
+        order = o1[o2]
     band_s = band[order]
     n = q0.shape[0]
     counts = jnp.zeros((nb_b,), jnp.int32).at[band].add(1)
@@ -575,6 +570,10 @@ def fused_stats_call(spec: FusedSpec, tab, q, p, w, rflat, *, interpret=False,
     rflat = jnp.asarray(rflat, jnp.float32)
     if rflat.ndim == 1:
         rflat = jnp.broadcast_to(rflat[None, :], (n_tiles, 9))
+    elif rflat.shape[0] != n_tiles:
+        raise ValueError(
+            f"per-tile rflat has {rflat.shape[0]} rows for {n_tiles} tiles"
+        )
     if n_pad != n:
         q = jnp.concatenate([q, jnp.broadcast_to(q[-1:], (n_pad - n, 3))])
         p = jnp.concatenate([p, jnp.broadcast_to(p[-1:], (n_pad - n, 3))])
@@ -655,8 +654,15 @@ def voxel_fused_spec(vm, kind: str, max_dist: float, huber_delta: float | None =
 
     if vm.dense_blocks is None:
         return None
-    feat_w = {"plane": 3 * 32, "ndt": 6 * 32}.get(kind, 0)
-    if vm.dense_blocks.shape[-1] < 128 + padded_row_width(feat_w) * (1 if feat_w else 0):
+    # required row width derived from DENSE_BLOCK (not constants): coord
+    # planes plus the kind's feature planes — a narrower table was built
+    # without them and must fall back to the XLA path, not crash at align
+    w_cells = int(np.prod(DENSE_BLOCK))
+    feat_dim = {"plane": 3, "ndt": 6}.get(kind, 0)
+    need_w = padded_row_width(3 * w_cells) + (
+        padded_row_width(feat_dim * w_cells) if feat_dim else 0
+    )
+    if vm.dense_blocks.shape[-1] < need_w:
         return None  # table was built without the rich feature columns
     nb = tuple(int(x) for x in np.asarray(jax.device_get(vm.nb_dims)))
     origin = tuple(int(x) for x in np.asarray(jax.device_get(vm.grid.origin_cell)))

@@ -139,7 +139,10 @@ def _segment_stats(points, inverse, capacity, corner, corner_slot,
 
 
 
-_SEG_CH = 512  # sorted-chunk length for the MXU segment-sum build
+# Sorted-chunk length for the MXU segment-sum build. 256 halves the
+# transient (nchunks, CH, CH) equality-tensor footprint (~1 KB/point vs
+# ~2 KB at 512) at measured-equal throughput on v5e.
+_SEG_CH = 256
 
 
 def _segment_acc(key, vals, d_total: int, *, presorted: bool = False):
@@ -485,7 +488,8 @@ def _finish_voxel_map(points, grid: Grid, inverse, *, min_points, with_icov):
 
 
 def query_nearest_voxel(vmap_: VoxelMap, query, *, voxel_size: float, max_dist: float,
-                        fixed_tiers: bool = False) -> NNResult:
+                        fixed_tiers: bool = False,
+                        full_window: bool = False) -> NNResult:
     """Nearest valid voxel for each query point -> (dist, slot).
 
     Dispatches to the dense inf-padded table fast path when the map has one
@@ -504,6 +508,7 @@ def query_nearest_voxel(vmap_: VoxelMap, query, *, voxel_size: float, max_dist: 
             radius_near=min(1, radius_full),
             radius_full=radius_full,
             fixed_tiers=fixed_tiers,
+            full_window=full_window,
         )
         dense = vmap_.grid.dense
         slot = dense[jnp.clip(res.idx, 0, dense.shape[0] - 1)]

@@ -198,9 +198,13 @@ def align_map_sharded(
         def stats_fn(T):
             R, _ = makeRt(T)
             q = transform_points(T, source_s)
+            # full_window, not tiers: most queries' true voxels live on
+            # OTHER shards, so the compacted unresolved tier would silently
+            # overflow its capacity and leave stale near-pass results —
+            # every query probes the full max_dist window on its slab.
             nn = query_nearest_voxel(
                 vm, q, voxel_size=meta.cell_size, max_dist=cfg.max_dist,
-                fixed_tiers=True,
+                full_window=True,
             )
             d = jnp.where(nn.idx >= 0, nn.dist, jnp.inf)
             d_best = jax.lax.pmin(d, "model")

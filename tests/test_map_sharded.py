@@ -100,3 +100,35 @@ def test_map_sharded_rejects_point_kinds(problem):
     src, w = pad_points(scan)
     with pytest.raises(ValueError, match="voxel-map kinds"):
         align_map_sharded("icp", svm, meta, src, w, jnp.eye(4), cfg, mesh)
+
+
+def test_map_sharded_large_scan_beyond_tier_capacity(problem):
+    """With z-slab sharding most queries' true voxels live on other
+    shards; a compacted unresolved tier (capacity ~N/4) silently overflows
+    for scans past ~4x its floor, leaving near-pass results whose window
+    can miss 2-cell matches at unlucky block alignments. The slab query
+    therefore probes the FULL max_dist window for every query — asserted
+    here to keep the sharded align identical to the replicated one at
+    beyond-capacity scan sizes and a multi-cell initial offset."""
+    scene, _, _ = problem
+    rng = np.random.RandomState(3)
+    n = 12_288  # > 4 * the 1024 compaction floor per data shard
+    # big initial offset: early-iteration matches sit 1-2 cells away, so
+    # the near pass resolves almost nothing and the old compacted tier
+    # overflowed on most shards
+    scan = scene[rng.choice(len(scene), n, replace=True)] + np.float32(
+        [0.45, -0.3, 1.3]
+    )
+    cfg = VPlaneICPConfig(voxel_size=1.0, max_iter=10, max_dist=2.0, tol=1e-3,
+                          backend="xla")
+    single = vplane_align(build_vplane_target(scene, cfg), *_args(scan), cfg)
+    svm, meta = shard_voxel_map(scene, 1.0, n_shards=4, min_points=cfg.min_points)
+    mesh = make_map_mesh(model=4, data=2)
+    src, w = pad_points(scan)
+    out = align_map_sharded(
+        "vplane_icp", svm, meta, src, w, jnp.eye(4, dtype=jnp.float32), cfg, mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.T), np.asarray(single.T), atol=1e-5
+    )
+    assert int(out.diagnostics.iterations) == int(single.diagnostics.iterations)
