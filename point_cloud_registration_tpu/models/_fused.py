@@ -159,29 +159,51 @@ def fused_voxel_align_batched(vm, sources, src_weights, init_Ts, cfg,
         C = jnp.sum(stats.reshape(B, tiles_pp, 8, 128), axis=1)[:, :, :8]
         unres_b = unres.reshape(B, n_cap_al)
 
-        def resolve_one(qb, unb, wb, pb, R, Cb):
-            # unconditional compacted fallback (fixed-tier: data-dependent
-            # switching buys nothing when every problem runs in one program)
+        def _sub_stats(ps, qs, ws, tgt, feats, R):
+            if spec.kind in ("plane", "plane_pt"):
+                return plane_stats(ps, qs, tgt, feats, ws, R,
+                                   huber_delta=spec.huber_delta)
+            return whitened_stats(ps, qs, tgt, feats, ws, R,
+                                  huber_delta=spec.huber_delta)
+
+        def resolve_compact(qb, unb, wb, pb, R):
+            # compacted fallback: re-query only the stragglers
             n_un = jnp.sum(unb)
             idxs = jnp.nonzero(unb, size=fb_cap, fill_value=0)[0]
             live = jnp.arange(fb_cap) < n_un
             qs = qb[idxs]
             d, tgt, feats = planar_window_query(spec, vm.dense_blocks, qs)
             ws = wb[idxs] * live * (d < spec.max_dist)
-            if spec.kind == "plane":
-                sub = plane_stats(pb[idxs], qs, tgt, feats, ws, R,
-                                  huber_delta=spec.huber_delta)
-            else:
-                sub = whitened_stats(pb[idxs], qs, tgt, feats, ws, R,
-                                     huber_delta=spec.huber_delta)
+            return _sub_stats(pb[idxs], qs, ws, tgt, feats, R)
+
+        def resolve_full(qb, unb, wb, pb, R):
+            # escape hatch for straggler counts beyond the compaction
+            # capacity (sparse scans / large initial offsets): re-query every
+            # point, weighted by the unresolved mask, so no contribution is
+            # silently dropped (the single-problem driver's tier-3 twin)
+            d, tgt, feats = planar_window_query(spec, vm.dense_blocks, qb)
+            ws = wb * unb * (d < spec.max_dist)
+            return _sub_stats(pb, qb, ws, tgt, feats, R)
+
+        def add(Cb, sub):
             return GNStats(
-                H=Cb[:6, :6] + sub.H,
-                g=Cb[:6, 6] + sub.g,
-                e2=Cb[6, 6] + sub.e2,
-                n_inliers=Cb[7, 7] + sub.n_inliers,
+                H=Cb[:, :6, :6] + sub.H,
+                g=Cb[:, :6, 6] + sub.g,
+                e2=Cb[:, 6, 6] + sub.e2,
+                n_inliers=Cb[:, 7, 7] + sub.n_inliers,
             )
 
-        return jax.vmap(resolve_one)(q, unres_b, w_s, src_s, Rs, C)
+        # batch-level tier choice: the predicate is a scalar, so lax.cond
+        # runs ONE branch — the full re-query costs nothing unless some
+        # problem actually overflows its compaction capacity
+        overflow = jnp.any(
+            jnp.sum(unres_b, axis=1) > fb_cap
+        )
+        return jax.lax.cond(
+            overflow,
+            lambda: add(C, jax.vmap(resolve_full)(q, unres_b.astype(jnp.float32), w_s, src_s, Rs)),
+            lambda: add(C, jax.vmap(resolve_compact)(q, unres_b, w_s, src_s, Rs)),
+        )
 
     def cond(c):
         return jnp.any(jnp.logical_not(c["done"]))

@@ -148,7 +148,10 @@ def match_points(target: PointCorrTarget, query: jax.Array, corr: Correspondence
     # Tier-2 cost scales with the compaction capacity whether or not slots
     # are used; past the first iteration unresolved counts are far below
     # n/16, and the rare >cap iteration falls through to tier 3 anyway.
-    cap = max(n // 16, 1024)
+    # fixed_tiers (vmapped/batched) has NO tier-3 escape, so it gets the
+    # pre-trim capacity back: first iterations with large offsets routinely
+    # exceed n/16 and would silently drop correspondences otherwise.
+    cap = max(n // 4, 1024) if fixed_tiers else max(n // 16, 1024)
     # the proxy's voxels are the packed blocks: 2 * cell_fine (static)
     cell_fine = corr.cell_fine if corr.cell_fine is not None else max_dist / 4
     proxy_vs = float(2 * cell_fine)

@@ -221,20 +221,36 @@ def band_layout(spec: FusedSpec, q0: jax.Array):
     lo_x = jnp.floor_divide(cellx - (ox0 + spec.radius), bx)
     lo_z = jnp.floor_divide(cellz - (oz0 + spec.radius), bz)
     band = jnp.clip((lo_y + 1) // bh, 0, nb_b - 1)
-    # sort by (band, x, z). The composite key (band*4096 + x)*1024 + z
-    # overflows int32 once nb_b >= 512 (y extents beyond ~12k cells), so
-    # huge maps take a two-pass stable radix instead: sort by the minor
-    # (x, z) key, then stably by band. nb_b is a host int — the choice is
-    # static, no traced branching.
-    minor = jnp.clip(lo_x + 2, 0, 4095) * 1024 + jnp.clip(lo_z + 2, 0, 1023)
-    if nb_b < 512:
-        order = jnp.argsort(band * (4096 * 1024) + minor, stable=True).astype(
-            jnp.int32
-        )
+    # Sort by (band, x, z). Key ranges come from the block grid itself (all
+    # host ints -> static choice, no traced branching): lo_x/lo_z of in-bbox
+    # queries span [-2, nb+1] after the +2 offset; out-of-bbox stragglers
+    # clip to the ends, which only costs those queries x/z locality, never
+    # correctness. A fixed 4096/1024 clip here used to alias the key for
+    # maps wider than ~16k cells in x (or ~4k in z), silently destroying
+    # tile locality — the composite key is now exact for every grid, and
+    # the sort falls back to a stable multi-pass radix whenever a combined
+    # key would overflow int32.
+    kx = spec.nb_dims[0] + 4  # lo_x + 2 in [0, nbx + 3]
+    kz = spec.nb_dims[2] + 4
+    mx = jnp.clip(lo_x + 2, 0, kx - 1)
+    mz = jnp.clip(lo_z + 2, 0, kz - 1)
+    if kx * kz < 2**31:
+        minor = mx * kz + mz
+        if nb_b * (kx * kz) < 2**31:
+            order = jnp.argsort(band * (kx * kz) + minor, stable=True).astype(
+                jnp.int32
+            )
+        else:
+            o1 = jnp.argsort(minor, stable=True).astype(jnp.int32)
+            o2 = jnp.argsort(band[o1], stable=True).astype(jnp.int32)
+            order = o1[o2]
     else:
-        o1 = jnp.argsort(minor, stable=True).astype(jnp.int32)
-        o2 = jnp.argsort(band[o1], stable=True).astype(jnp.int32)
-        order = o1[o2]
+        # astronomically wide grids: three stable passes (z, then x, then band)
+        o1 = jnp.argsort(mz, stable=True).astype(jnp.int32)
+        o2 = jnp.argsort(mx[o1], stable=True).astype(jnp.int32)
+        o12 = o1[o2]
+        o3 = jnp.argsort(band[o12], stable=True).astype(jnp.int32)
+        order = o12[o3]
     band_s = band[order]
     n = q0.shape[0]
     counts = jnp.zeros((nb_b,), jnp.int32).at[band].add(1)

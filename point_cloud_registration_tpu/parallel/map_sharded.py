@@ -18,7 +18,12 @@ shards the *dense-direct cell table* itself:
   two N-float collectives plus the ~40-float stats reduction per iteration,
   all riding ICI;
 * correctness contract: identical (to f32) results to the replicated-map
-  ``align_sharded`` path, asserted in tests/test_map_sharded.py.
+  ``align_sharded`` path, asserted in tests/test_map_sharded.py. One
+  degenerate exception: two voxels on *different* slabs at exactly equal
+  f32 distance tie-break by lowest shard rank here, while the replicated
+  table breaks ties by block/probe scan order — symmetric, exactly gridded
+  point clouds can therefore elect a different (equally near) voxel than
+  the replicated path. Real scans never produce exact f32 ties.
 """
 
 from __future__ import annotations
@@ -188,6 +193,11 @@ def align_map_sharded(
     """
     if kind not in ("vplane_icp", "ndt"):
         raise ValueError(f"map sharding supports voxel-map kinds, not {kind!r}")
+    if kind == "ndt" and svm.icovs is None:
+        raise ValueError(
+            "align_map_sharded(kind='ndt') needs per-voxel icovs: build the "
+            "map with shard_voxel_map(..., with_icov=True)"
+        )
 
     def shard_fn(svm_slab, source_s, w_s, T0):
         svm_local = jax.tree.map(lambda a: a[0], svm_slab)  # drop shard axis
