@@ -1,0 +1,113 @@
+"""Fused-kernel align driver for the raw-point solvers (ICP / PlaneICP).
+
+Mirrors models/_fused.fused_voxel_align but runs the tile-local CSR point
+kernel (ops/pallas/point_align.py) as the per-iteration stats engine.
+Unresolved queries — best match beyond the ``cell_fine`` exactness radius,
+or drifted out of their tile's layout-time block list — are re-solved on a
+compacted XLA pass with the SAME semantics as the gather path's
+models/_point_corr.match_points: packed tier-1 re-query first, coarse
+voxel-Gaussian proxy for the rest. Reference solver call chains:
+/root/reference/point_cloud_registration/icp.py:24-57, plane_icp.py:30-69.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
+from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
+from point_cloud_registration_tpu.ops.pallas.point_align import (
+    PointFusedSpec,
+    build_tile_tables,
+    morton_layout,
+    padded_point_capacity,
+    point_stats_call,
+)
+from point_cloud_registration_tpu.ops.pointgrid import nearest_point_packed
+from point_cloud_registration_tpu.ops.reduce import plane_stats, point_stats
+from point_cloud_registration_tpu.ops.voxelize import query_nearest_voxel
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "interpret"))
+def fused_point_align(target, normals, source, src_weight, init_T, cfg,
+                      spec: PointFusedSpec, interpret: bool = False):
+    """``align`` with the fused point kernel: returns ``(T, GNDiagnostics)``.
+
+    ``target`` is a models/_point_corr.PointCorrTarget with the packed
+    backend populated; ``normals`` is the (N, 3) per-point normal field for
+    kind "plane_pt" (None for "point").
+    """
+    pg = target.packed
+    proxy = target.proxy
+    init_T = jnp.asarray(init_T, jnp.float32)
+    source = jnp.asarray(source, jnp.float32)
+    n = source.shape[0]
+    q0 = transform_points(init_T, source)
+    pos = morton_layout(spec, q0)
+    n_cap = padded_point_capacity(spec, n)
+    src_s = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(source)
+    w_s = jnp.zeros((n_cap,), jnp.float32).at[pos].set(src_weight)
+    q0_s = transform_points(init_T, src_s)
+    keys, tab = build_tile_tables(spec, pg, q0_s, w_s)
+    fb_cap = int(max(min(n // 8, 16384), min(n, 256)))
+    proxy_vs = float(2 * spec.cell)  # a packed block IS a proxy voxel
+
+    def _resolve(qs, ps, ws, s):
+        """match_points semantics on a compacted subset: packed tier-1,
+        voxel-Gaussian proxy beyond the exactness radius."""
+        t1 = nearest_point_packed(pg, qs)
+        pnn = query_nearest_voxel(proxy, qs, voxel_size=proxy_vs,
+                                  max_dist=spec.max_dist)
+        use_raw = t1.resolved
+        dist = jnp.where(use_raw, t1.dist, pnn.dist)
+        safe_raw = jnp.clip(t1.idx, 0, target.points.shape[0] - 1)
+        safe_p = jnp.clip(pnn.idx, 0, proxy.means.shape[0] - 1)
+        tgt = jnp.where(
+            use_raw[:, None], target.points[safe_raw], proxy.means[safe_p]
+        )
+        found = jnp.where(use_raw, t1.idx >= 0, pnn.idx >= 0)
+        ws = ws * (dist < spec.max_dist) * found
+        R, _ = makeRt(s["T"])
+        if spec.kind == "plane_pt":
+            nrm = jnp.where(
+                use_raw[:, None], normals[safe_raw], proxy.normals[safe_p]
+            )
+            sub = plane_stats(ps, qs, tgt, nrm, ws, R,
+                              huber_delta=spec.huber_delta)
+        else:
+            sub = point_stats(ps, qs, tgt, ws, R, huber_delta=spec.huber_delta)
+        base = s["stats"]
+        return GNStats(
+            H=base.H + sub.H,
+            g=base.g + sub.g,
+            e2=base.e2 + sub.e2,
+            n_inliers=base.n_inliers + sub.n_inliers,
+        )
+
+    def stats_fn(T):
+        R, _ = makeRt(T)
+        q = transform_points(T, src_s)
+        C, unres = point_stats_call(
+            spec, keys, tab, q, src_s, w_s, R.reshape(9), interpret=interpret
+        )
+        base = GNStats(H=C[:6, :6], g=C[:6, 6], e2=C[6, 6], n_inliers=C[7, 7])
+        n_un = jnp.sum(unres)
+        carry = {"T": T, "stats": base}
+
+        def compact_fallback(s):
+            idxs = jnp.nonzero(unres, size=fb_cap, fill_value=0)[0]
+            live = jnp.arange(fb_cap) < n_un
+            return _resolve(q[idxs], src_s[idxs], w_s[idxs] * live, s)
+
+        def full_fallback(s):
+            return _resolve(q, src_s, w_s * unres, s)
+
+        tier = (n_un > 0).astype(jnp.int32) + (n_un > fb_cap).astype(jnp.int32)
+        return jax.lax.switch(
+            tier, [lambda s: s["stats"], compact_fallback, full_fallback], carry
+        )
+
+    return gauss_newton(stats_fn, init_T, cfg.max_iter, cfg.tol)

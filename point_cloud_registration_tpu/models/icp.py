@@ -28,7 +28,10 @@ from point_cloud_registration_tpu.models._point_corr import (
     build_point_corr,
     match_points,
 )
+from point_cloud_registration_tpu.models._fused import use_fused
+from point_cloud_registration_tpu.models._point_fused import fused_point_align
 from point_cloud_registration_tpu.models.base import AlignResult, Registration, pad_points
+from point_cloud_registration_tpu.ops.pallas.point_align import point_fused_spec
 from point_cloud_registration_tpu.ops.reduce import point_stats
 
 # The ICP target is the generic raw-point correspondence target.
@@ -75,8 +78,18 @@ class ICP(Registration):
 
     def set_target(self, target) -> None:
         self._target = build_icp_target(target, self.cfg)
+        self._spec = point_fused_spec(
+            self._target.packed, "point", self.cfg.max_dist, self.cfg.huber_delta
+        )
 
     def _align_fn(self, target, source, src_weight, init_T) -> AlignResult:
+        spec = getattr(self, "_spec", None)
+        if use_fused(self.cfg.backend, spec):
+            T, diag = fused_point_align(
+                target, None, source, src_weight, init_T, self.cfg, spec,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return AlignResult(T=T, diagnostics=diag)
         return icp_align(target, source, src_weight, init_T, self.cfg)
 
     def _stats_fn(self, target, source, src_weight, T) -> GNStats:

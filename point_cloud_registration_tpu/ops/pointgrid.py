@@ -44,6 +44,11 @@ class PackedPointGrid(NamedTuple):
     ``origin_fine`` is rounded down to an even multiple so blocks coincide
     with absolute cells of size ``2 * cell_fine`` (lets the proxy voxel map
     share this table — see models/_point_corr.proxy_from_packed).
+
+    ``pts_packed`` rows hold ``cap`` slots of ``width`` floats each:
+    xyz, optionally followed by per-point features (PlaneICP packs its
+    k-NN PCA normals alongside, so the fused point kernel's tables carry
+    them with no extra N-row gather/scatter pass).
     """
 
     origin_fine: jax.Array  # (3,) i32 — min fine-cell coordinate (even)
@@ -51,12 +56,17 @@ class PackedPointGrid(NamedTuple):
     nb_dims: jax.Array  # (3,) i32 — block-grid dims
     block_row: jax.Array  # (NB,) i32 — block key -> packed row (-1 empty)
     row_key: jax.Array  # (R+1,) i32 — packed row -> block key (-1 padding)
-    pts_packed: jax.Array  # (R+1, cap*3) f32 — block points, +inf padded
+    pts_packed: jax.Array  # (R+1, cap*width) f32 — block points, +inf padded
     idx_packed: jax.Array  # (R+1, cap) i32 — original point indices, -1 padded
 
     @property
     def cap(self) -> int:
         return self.idx_packed.shape[1]
+
+    @property
+    def width(self) -> int:
+        """Floats per packed slot: 3 (xyz) + feature dims."""
+        return self.pts_packed.shape[1] // self.idx_packed.shape[1]
 
 
 class PointNN(NamedTuple):
@@ -127,8 +137,15 @@ def _keys_sort_count(points, origin_fine, cell_fine, nb_dims):
 
 
 @partial(jax.jit, static_argnames=("nb_dims", "r_cap", "cap"))
-def _pack(points, bkeys, order, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
+def _pack(points, bkeys, order, origin_fine, cell_fine, *, nb_dims, r_cap, cap,
+          feats=None):
     n = points.shape[0]
+    if feats is not None:
+        # fold features into the SAME row gather + row scatter (scatter cost
+        # is per ROW, so widening 3 -> 3+F floats is nearly free vs a second
+        # N-row gather/scatter pass for a separate feature table)
+        points = jnp.concatenate([points, jnp.asarray(feats, jnp.float32)], axis=1)
+    w = points.shape[1]
     skeys = bkeys[order]
     arange = jnp.arange(n, dtype=jnp.int32)
     new_block = jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
@@ -151,11 +168,11 @@ def _pack(points, bkeys, order, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
 
     keep = rank < cap
     src = points[order]
-    # ONE (N, 3)-row scatter (xyz rows are contiguous in the packed layout:
-    # col = rank*3..rank*3+2), ~3x cheaper than three element scatters —
-    # TPU scatter cost is per ROW.
+    # ONE (N, w)-row scatter (a slot's floats are contiguous in the packed
+    # layout: col = rank*w..rank*w+w-1), ~w x cheaper than w element
+    # scatters — TPU scatter cost is per ROW.
     slot = jnp.where(keep, row * cap + rank, jnp.int32((r_cap + 1) * cap))
-    pts_rows = jnp.full(((r_cap + 1) * cap, 3), jnp.inf, jnp.float32)
+    pts_rows = jnp.full(((r_cap + 1) * cap, w), jnp.inf, jnp.float32)
     pts_rows = pts_rows.at[slot].set(src, mode="drop")
     flat_idx = jnp.full(((r_cap + 1) * cap,), -1, jnp.int32)
     flat_idx = flat_idx.at[slot].set(order.astype(jnp.int32), mode="drop")
@@ -166,7 +183,7 @@ def _pack(points, bkeys, order, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
         nb_dims=jnp.asarray(nb_dims, jnp.int32),
         block_row=block_row,
         row_key=row_key,
-        pts_packed=pts_rows.reshape(r_cap + 1, cap * 3),
+        pts_packed=pts_rows.reshape(r_cap + 1, cap * w),
         idx_packed=flat_idx.reshape(r_cap + 1, cap),
     )
 
@@ -186,7 +203,7 @@ def proxy_stats_from_packed(pg: PackedPointGrid, *, min_points: int,
 
     r1 = pg.pts_packed.shape[0]
     cap = pg.idx_packed.shape[1]
-    pts = pg.pts_packed.reshape(r1, cap, 3)
+    pts = pg.pts_packed.reshape(r1, cap, -1)[..., :3]
     mask = jnp.isfinite(pts[..., 0])
     cnt = jnp.sum(mask, axis=1).astype(jnp.int32)  # (R+1,)
     safe = jnp.where(mask[..., None], pts, 0.0)
@@ -236,9 +253,10 @@ def proxy_stats_from_packed(pg: PackedPointGrid, *, min_points: int,
 @partial(jax.jit, static_argnames=(
     "nb_dims", "r_cap", "cap", "min_points", "with_normals", "nb2_static"))
 def _pack_with_proxy(points, bkeys, order, origin_fine, cell_fine, *,
-                     nb_dims, r_cap, cap, min_points, with_normals, nb2_static):
+                     nb_dims, r_cap, cap, min_points, with_normals, nb2_static,
+                     feats=None):
     pg = _pack(points, bkeys, order, origin_fine, cell_fine,
-               nb_dims=nb_dims, r_cap=r_cap, cap=cap)
+               nb_dims=nb_dims, r_cap=r_cap, cap=cap, feats=feats)
     proxy = proxy_stats_from_packed(
         pg, min_points=min_points, with_normals=with_normals,
         nb_dims_static=nb_dims, nb2_static=nb2_static,
@@ -247,7 +265,8 @@ def _pack_with_proxy(points, bkeys, order, origin_fine, cell_fine, *,
 
 
 def build_packed_grid_and_proxy(points, cell_fine: float, cap: int,
-                                *, min_points: int, with_normals: bool):
+                                *, min_points: int, with_normals: bool,
+                                feats=None):
     """Packed tables + coarse proxy voxel map in TWO programs + ONE sync
     (keys/sort/count, then pack+proxy fused — degraded remote-tunnel periods
     serialize even pipelined dispatches, so program count matters there).
@@ -272,6 +291,7 @@ def build_packed_grid_and_proxy(points, cell_fine: float, cap: int,
         points, bkeys, order, jnp.asarray(lo_cell, jnp.int32),
         jnp.float32(cell_fine), nb_dims=nb_dims, r_cap=r_cap, cap=cap,
         min_points=min_points, with_normals=with_normals, nb2_static=nb2,
+        feats=feats,
     )
     pg = pg._replace(
         origin_fine=np.asarray(lo_cell, np.int32),
@@ -303,7 +323,7 @@ def nearest_point_packed(pg: PackedPointGrid, query: jax.Array) -> PointNN:
                 bkey = b3[:, 0] + nbx * (b3[:, 1] + nby * b3[:, 2])
                 row = pg.block_row[jnp.where(ok, bkey, 0)]
                 row = jnp.where(ok & (row >= 0), row, r_sentinel)
-                cand = pg.pts_packed[row].reshape(n, cap, 3)
+                cand = pg.pts_packed[row].reshape(n, cap, -1)[..., :3]
                 diff = query[:, None, :] - cand
                 d2 = (
                     diff[..., 0] * diff[..., 0]
@@ -347,7 +367,7 @@ def _knn_window_pass(pg: PackedPointGrid, query: jax.Array, k: int, radius: int,
                     bkey = b3[:, 0] + nbx * (b3[:, 1] + nby * b3[:, 2])
                     row = pg.block_row[jnp.where(ok, bkey, 0)]
                     row = jnp.where(ok & (row >= 0), row, r_sentinel)
-                    cand = pg.pts_packed[row].reshape(m, cap, 3)
+                    cand = pg.pts_packed[row].reshape(m, cap, -1)[..., :3]
                     diff = q[:, None, :] - cand
                     d2s.append(
                         diff[..., 0] ** 2 + diff[..., 1] ** 2 + diff[..., 2] ** 2
