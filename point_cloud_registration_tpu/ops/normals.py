@@ -119,22 +119,37 @@ def estimate_normals(
     *,
     cell_size: float | None = None,
     cell_cap: int | None = None,
+    backend: str = "auto",
 ) -> jax.Array:
     """Estimate unit normals for every point of a cloud (N, 3) -> (N, 3).
 
     Functional equivalent of the reference ``estimate_normals``
     (estimate_normals.py:11-24): the point's own k-neighborhood (including
-    itself) defines the tangent plane. Neighbors come from the packed-block
-    k-NN (ops/pointgrid.py) with the fine cell sized to the sampled k-NN
-    radius, so the 8-block window covers the true neighborhood for the
-    overwhelming majority of points (tail neighborhoods are approximate —
-    quantified in tests, harmless for PCA normals).
+    itself) defines the tangent plane.
+
+    ``backend``: "auto" runs the fused Pallas k-NN moments kernel
+    (ops/pallas/knn_normals.py) on TPU — one pass over a radius-2 window,
+    the same provable-exactness radius (``2 * cell``) as the XLA path's
+    exact-tail tier; "xla" forces the gather-based packed-block k-NN
+    (ops/pointgrid.knn_packed); "pallas" forces the kernel (interpreted
+    off-TPU — tests). Tail neighborhoods wider than the provable radius are
+    approximate on both paths (quantified in tests/benchmarks, harmless for
+    PCA normals).
     """
-    from point_cloud_registration_tpu.ops.pointgrid import build_packed_grid, knn_packed
+    from point_cloud_registration_tpu.ops.pointgrid import build_packed_grid
 
     points = jnp.asarray(points, jnp.float32)
     if cell_size is None:
         cell_size = max(sample_knn_radius(points, k), 1e-3)
+    use_kernel = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_kernel:
+        out = _estimate_normals_fused(
+            points, k, cell_size, interpret=jax.default_backend() != "tpu"
+        )
+        if out is not None:
+            return out
     if cell_cap is None:
         cell_cap = max(32, 3 * k)
     pg = build_packed_grid(points, cell_size, cap=cell_cap)
@@ -143,6 +158,73 @@ def estimate_normals(
     # which remote-attached TPUs serialize at tunnel latency — measured 12x
     # slower than the identical jitted program.
     return _knn_normals_jit(pg, points, k)
+
+
+def _estimate_normals_fused(points, k, cell_size, interpret):
+    """K4: fused k-NN moments kernel + closed-form eigh + compacted XLA
+    fallback for queries whose window held fewer than k candidates."""
+    from point_cloud_registration_tpu.ops.pallas.knn_normals import (
+        knn_moments_spec,
+    )
+    from point_cloud_registration_tpu.ops.pointgrid import build_packed_grid
+
+    # cap 32 keeps the fused row at one 128-lane group (4 sub-blocks); the
+    # kernel's radius-2 window more than compensates the slightly tighter
+    # per-block truncation vs the XLA path's 3k cap
+    pg = build_packed_grid(points, cell_size, cap=32)
+    spec = knn_moments_spec(pg)
+    if spec is None:
+        return None
+    return _fused_normals_jit(pg, points, k, spec, interpret)
+
+
+@partial(jax.jit, static_argnames=("k", "spec", "interpret"))
+def _fused_normals_jit(pg, points, k, spec, interpret):
+    from point_cloud_registration_tpu.ops.pallas.knn_normals import (
+        knn_moments_call,
+    )
+    from point_cloud_registration_tpu.ops.pallas.point_align import (
+        build_tile_tables,
+        morton_layout,
+        padded_point_capacity,
+    )
+    from point_cloud_registration_tpu.ops.pointgrid import _knn_window_pass
+
+    n = points.shape[0]
+    pos = morton_layout(spec, points)
+    n_cap = padded_point_capacity(spec, n)
+    q_s = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(points)
+    w_s = jnp.zeros((n_cap,), jnp.float32).at[pos].set(1.0)
+    keys, tab = build_tile_tables(spec, pg, q_s, w_s)
+    cov6, _, _, unres, _ = knn_moments_call(
+        spec, k, keys, tab, q_s, w_s, interpret=interpret
+    )
+    nrm_t = smallest_eigvec_sym3(cov6)  # tile layout
+    # un-scatter via the inverse permutation (scatter-SET vectorizes;
+    # a gather by pos would be row-bound)
+    inv = jnp.full((n_cap,), n, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    normals = (
+        jnp.zeros((n, 3), jnp.float32).at[inv].set(nrm_t, mode="drop")
+    )
+    unres_o = jnp.zeros((n,), bool).at[inv].set(unres, mode="drop")
+
+    # compacted fallback: isolated points whose radius-2 window held fewer
+    # than k candidates (or drifted/overflowed lists) re-search wider on
+    # the XLA path
+    n_un = jnp.sum(unres_o)
+    cap_q = max(min(n // 16, 8192), min(n, 64))
+
+    def fb(nrm):
+        idxs = jnp.nonzero(unres_o, size=cap_q, fill_value=0)[0]
+        live = (jnp.arange(cap_q) < n_un)[:, None]
+        _, wi = _knn_window_pass(pg, points[idxs], k, radius=3 * spec.radius,
+                                 chunk=min(cap_q, 2048))
+        sub = normals_from_neighbors(points, wi, points[idxs])
+        return nrm.at[idxs].set(jnp.where(live, sub, nrm[idxs]))
+
+    return jax.lax.cond(n_un > 0, fb, lambda x: x, normals)
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -1,0 +1,249 @@
+"""Fused k-NN PCA moments kernel (K4) — normal estimation's hot path.
+
+The reference pipeline (/root/reference/point_cloud_registration/
+estimate_normals.py:27-87) is kd-tree k-NN + per-neighbor accumulation +
+LAPACK eigh. The XLA re-design (ops/normals.py) replaced the tree with
+packed-block window gathers, but at 1M+ points the row-bound gathers still
+dominate (~9.6M gather rows per pass). This kernel removes them with the
+same tile-local CSR machinery as the point-align kernel
+(ops/pallas/point_align.py): Morton tiles, per-tile fused-block key lists,
+key-equality one-hot MXU gathers from the bf16x3-split local table.
+
+Per tile it fuses, entirely in VMEM:
+
+* candidate fetch over the ``radius``-cell probe window (radius 2 by
+  default — the same provable-exactness radius as the XLA path's
+  exact-tail tier: any k-neighborhood within ``2 * cell`` is exact);
+* query-centered distance + delta stash over all window candidates;
+* exact k-th-distance extraction (k iterations of next-min threshold —
+  ties are consumed together and counted, see ``count`` output);
+* masked first/second query-centered moments -> the 6 covariance entries
+  (identical algebra to ops/normals.normals_from_neighbors: divisor =
+  selected count, query-centered so float32-stable at any range).
+
+Output per query: ``[c00 c11 c22 c01 c02 c12, count, rk2, unresolved]``.
+The caller runs the closed-form 3x3 eigensolver (ops/eigh3) on the
+covariances and re-solves unresolved queries (window held fewer than k
+candidates, or a drifted/overflowed key list) on the XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from point_cloud_registration_tpu.ops.knn import FOUND_MAX
+from point_cloud_registration_tpu.ops.pallas.fused_align import _MISS_D2
+from point_cloud_registration_tpu.ops.pallas.point_align import (
+    PointFusedSpec,
+    _FINE,
+)
+
+_N_OUT = 16  # output stat rows (9 used, padded to the sublane tiling)
+
+
+def knn_moments_spec(pg, radius: int = 2, tq: int = 256,
+                     cb: int = 256) -> PointFusedSpec | None:
+    """Spec for the k-NN moments kernel over a packed grid (host-side)."""
+    if pg is None:
+        return None
+    width = int(pg.pts_packed.shape[1] // pg.idx_packed.shape[1])
+    if width != 3:
+        return None
+    try:
+        return PointFusedSpec(
+            kind="point",
+            cell=float(pg.cell_fine),
+            origin_fine=tuple(int(x) for x in np.asarray(pg.origin_fine)),
+            nb_dims=tuple(int(x) for x in np.asarray(pg.nb_dims)),
+            cap=int(pg.idx_packed.shape[1]),
+            width=width,
+            cb=cb,
+            tq=tq,
+            max_dist=float("inf"),
+            radius=radius,
+        )
+    except ValueError:
+        return None
+
+
+def _make_knn_kernel(spec: PointFusedSpec, k: int):
+    TQ, CB = spec.tq, spec.cb
+    NC = spec.cs
+    WA = 3 * NC
+    nb2x, nb2y, nb2z = spec.nb2_dims
+    inv_found = np.float32(FOUND_MAX) ** 2
+    n_split = 3 if spec.gather_precision == "highest" else 1
+    probes = spec.probes
+    # provable-exactness bound: the probe window covers the closed ball of
+    # radius * cell, so rk2 below its square proves the k-set is exact
+    exact_d2 = np.float32((spec.radius * spec.cell) ** 2)
+
+    def split_bf16(a):
+        hi = a.astype(jnp.bfloat16)
+        r1 = a - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (hi, mid, lo)[:n_split]
+
+    def onehot_gather(oh_mask, parts):
+        oh = oh_mask.astype(jnp.bfloat16)
+        out = None
+        for part in parts:
+            d = jax.lax.dot_general(
+                oh, part, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = d if out is None else out + d
+        return out
+
+    def kernel(q_ref, w_ref, keys_ref, tab_ref, out_ref):
+        q = q_ref[...]  # (TQ, 3)
+        w_in = w_ref[...][:, 0]
+        keys = keys_ref[0, :]
+        tab = tab_ref[0]
+        parts = split_bf16(tab)
+
+        inv_cell = np.float32(1.0 / spec.cell)
+        fx, fy, fz = _FINE
+        r_ = spec.radius
+        cx_ = jnp.floor(q[:, 0] * inv_cell).astype(jnp.int32) - spec.origin_fine[0]
+        cy_ = jnp.floor(q[:, 1] * inv_cell).astype(jnp.int32) - spec.origin_fine[1]
+        cz_ = jnp.floor(q[:, 2] * inv_cell).astype(jnp.int32) - spec.origin_fine[2]
+        gx = jnp.floor_divide(cx_ - r_, fx)
+        gy = jnp.floor_divide(cy_ - r_, fy)
+        gz = jnp.floor_divide(cz_ - r_, fz)
+
+        # candidate stash over all probes: deltas + distances live in VMEM
+        dxs, dys, dzs, d2s = [], [], [], []
+        miss = jnp.zeros((TQ,), jnp.int32)
+        for dx, dy, dz in probes:
+            bx = gx + dx
+            by = gy + dy
+            bz = gz + dz
+            ok = (
+                (bx >= 0) & (bx < nb2x)
+                & (by >= 0) & (by < nb2y)
+                & (bz >= 0) & (bz < nb2z)
+            )
+            pk = jnp.where(ok, bx + nb2x * (by + nb2y * bz), -1)
+            match = pk[:, None] == keys[None, :]
+            matched = jnp.sum(match.astype(jnp.int32), axis=1) > 0
+            miss = jnp.maximum(
+                miss, (ok & jnp.logical_not(matched)).astype(jnp.int32)
+            )
+            rows = onehot_gather(match, parts)
+            ddx = q[:, 0:1] - rows[:, 0:NC]
+            ddy = q[:, 1:2] - rows[:, NC : 2 * NC]
+            ddz = q[:, 2:3] - rows[:, 2 * NC : 3 * NC]
+            d2 = ddx * ddx + ddy * ddy + ddz * ddz
+            d2 = jnp.where(matched[:, None], d2, _MISS_D2)
+            dxs.append(ddx)
+            dys.append(ddy)
+            dzs.append(ddz)
+            d2s.append(d2)
+        ddx = jnp.concatenate(dxs, axis=1)  # (TQ, P*NC)
+        ddy = jnp.concatenate(dys, axis=1)
+        ddz = jnp.concatenate(dzs, axis=1)
+        d2 = jnp.concatenate(d2s, axis=1)
+        real = d2 < inv_found  # sentinel/padding candidates are ~1e60
+
+        # exact k-th distance: next-min threshold ascent. Each step consumes
+        # every candidate tied at the current threshold (ties counted, not
+        # re-visited), so k steps suffice for k neighbors.
+        def sel_body(_, carry):
+            thr, rk, done = carry
+            nxt = jnp.min(jnp.where(d2 > thr[:, None], d2, _MISS_D2), axis=1)
+            cnt = jnp.sum((d2 <= nxt[:, None]) & real, axis=1)
+            reached = cnt >= k
+            rk = jnp.where(reached & jnp.logical_not(done), nxt, rk)
+            return nxt, rk, done | reached
+
+        thr0 = jnp.full((TQ,), -1.0, jnp.float32)
+        rk0 = jnp.full((TQ,), _MISS_D2, jnp.float32)
+        done0 = jnp.zeros((TQ,), bool)
+        _, rk, done = jax.lax.fori_loop(0, k, sel_body, (thr0, rk0, done0))
+
+        # selection mask: the k nearest (all real candidates when the window
+        # holds fewer than k — those queries are flagged unresolved)
+        sel = (real & (d2 <= rk[:, None])).astype(jnp.float32)
+        cnt = jnp.sum(sel, axis=1)
+        denom = jnp.maximum(cnt, 1.0)
+        sx = jnp.sum(sel * ddx, axis=1) / denom
+        sy = jnp.sum(sel * ddy, axis=1) / denom
+        sz = jnp.sum(sel * ddz, axis=1) / denom
+        c00 = jnp.sum(sel * ddx * ddx, axis=1) / denom - sx * sx
+        c11 = jnp.sum(sel * ddy * ddy, axis=1) / denom - sy * sy
+        c22 = jnp.sum(sel * ddz * ddz, axis=1) / denom - sz * sz
+        c01 = jnp.sum(sel * ddx * ddy, axis=1) / denom - sx * sy
+        c02 = jnp.sum(sel * ddx * ddz, axis=1) / denom - sx * sz
+        c12 = jnp.sum(sel * ddy * ddz, axis=1) / denom - sy * sz
+
+        live = w_in > 0
+        unresolved = (jnp.logical_not(done) | (miss > 0)) & live
+        exact = done & (rk < exact_d2)
+
+        zeros = jnp.zeros_like(cnt)
+        rows_out = (
+            c00, c11, c22, c01, c02, c12,
+            cnt, rk,
+            unresolved.astype(jnp.float32),
+            exact.astype(jnp.float32),
+        )
+        for i, v in enumerate(rows_out):
+            out_ref[0, i, :] = v
+        for i in range(len(rows_out), _N_OUT):
+            out_ref[0, i, :] = zeros
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("spec", "k", "interpret"))
+def knn_moments_call(spec: PointFusedSpec, k: int, keys, tab, q, w, *,
+                     interpret=False):
+    """Run the k-NN moments kernel over Morton-tiled queries.
+
+    Returns ``(cov6 (N, 6), count (N,), rk2 (N,), unresolved (N,) bool,
+    exact (N,) bool)`` in the tile layout (caller un-scatters by its
+    ``pos`` map).
+    """
+    n = q.shape[0]
+    TQ, CB = spec.tq, spec.cb
+    W = spec.row_width
+    n_tiles = -(-n // TQ)
+    n_pad = n_tiles * TQ
+    if keys.shape != (n_tiles, CB) or tab.shape != (n_tiles, CB, W):
+        raise ValueError(
+            f"tile tables {keys.shape}/{tab.shape} do not match spec "
+            f"({(n_tiles, CB)}/{(n_tiles, CB, W)})"
+        )
+    if n_pad != n:
+        q = jnp.concatenate([q, jnp.broadcast_to(q[-1:], (n_pad - n, 3))])
+        w = jnp.concatenate([w, jnp.zeros((n_pad - n,), w.dtype)])
+
+    out = pl.pallas_call(
+        _make_knn_kernel(spec, k),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TQ, 3), lambda i: (i, 0)),
+            pl.BlockSpec((TQ, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, CB), lambda i: (i, 0)),
+            pl.BlockSpec((1, CB, W), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _N_OUT, TQ), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, _N_OUT, TQ), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+    )(q, w[:, None], keys, tab)
+    flat = jnp.transpose(out, (0, 2, 1)).reshape(n_pad, _N_OUT)[:n]
+    cov6 = flat[:, 0:6]
+    count = flat[:, 6]
+    rk2 = flat[:, 7]
+    unresolved = flat[:, 8] > 0
+    exact = flat[:, 9] > 0
+    return cov6, count, rk2, unresolved, exact

@@ -1,0 +1,142 @@
+"""K4 fused k-NN moments kernel (ops/pallas/knn_normals.py) vs oracles.
+
+Interpret mode on CPU. Contracts:
+
+* where the kernel flags a query ``exact`` (k-th distance inside the
+  provable radius), its covariance equals the brute-force k-NN covariance;
+* estimate_normals(backend="pallas") matches backend="xla" normals (up to
+  sign) except on the approximate tail;
+* queries whose window holds fewer than k candidates are flagged
+  unresolved and re-solved by the fallback (isolated-point cloud);
+* geometric ground truth on plane surfaces.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_cloud_registration_tpu.ops.normals import (
+    estimate_normals,
+    normals_from_neighbors,
+)
+from point_cloud_registration_tpu.ops.pallas.knn_normals import (
+    knn_moments_call,
+    knn_moments_spec,
+)
+from point_cloud_registration_tpu.ops.pallas.point_align import (
+    build_tile_tables,
+    morton_layout,
+    padded_point_capacity,
+)
+from point_cloud_registration_tpu.ops.pointgrid import build_packed_grid
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.RandomState(9)
+    n = 12000
+    floor = np.stack(
+        [rng.rand(n // 2) * 15, rng.rand(n // 2) * 15, rng.randn(n // 2) * 0.01], 1
+    )
+    wall = np.stack(
+        [
+            rng.rand(n // 2) * 15,
+            np.full(n // 2, 7.0) + rng.randn(n // 2) * 0.01,
+            rng.rand(n // 2) * 4,
+        ],
+        1,
+    )
+    return np.vstack([floor, wall]).astype(np.float32)
+
+
+def _run_kernel(pts, k, cell):
+    pg = build_packed_grid(pts, cell, cap=32)
+    spec = knn_moments_spec(pg)
+    assert spec is not None
+    n = len(pts)
+    pos = morton_layout(spec, jnp.asarray(pts))
+    n_cap = padded_point_capacity(spec, n)
+    q_s = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(pts)
+    w_s = jnp.zeros((n_cap,), jnp.float32).at[pos].set(1.0)
+    keys, tab = build_tile_tables(spec, pg, q_s, w_s)
+    cov6, cnt, rk2, unres, exact = knn_moments_call(
+        spec, k, keys, tab, q_s, w_s, interpret=True
+    )
+    pos = np.asarray(pos)
+    return (
+        np.asarray(cov6)[pos],
+        np.asarray(cnt)[pos],
+        np.asarray(rk2)[pos],
+        np.asarray(unres)[pos],
+        np.asarray(exact)[pos],
+    )
+
+
+def _brute_cov6(pts, queries, k):
+    d2 = ((queries[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :k]
+    covs = []
+    for qi, row in enumerate(idx):
+        c = pts[row] - queries[qi]
+        m = c.mean(0)
+        m2 = (c[:, :, None] * c[:, None, :]).mean(0)
+        cov = m2 - np.outer(m, m)
+        covs.append(
+            [cov[0, 0], cov[1, 1], cov[2, 2], cov[0, 1], cov[0, 2], cov[1, 2]]
+        )
+    return np.array(covs, np.float32), np.sqrt(
+        np.sort(d2, axis=1)[:, k - 1]
+    )
+
+
+def test_exact_flag_matches_brute_force(scene):
+    k = 10
+    sub = scene[:2500]
+    cov6, cnt, rk2, unres, exact = _run_kernel(sub, k, cell=0.4)
+    ref_cov, ref_rk = _brute_cov6(sub, sub, k)
+    assert exact.mean() > 0.9  # the scene is dense enough for the window
+    sel = exact & ~unres
+    # identical neighbor sets => identical covariances (f32 order tolerance)
+    np.testing.assert_allclose(cov6[sel], ref_cov[sel], atol=5e-5)
+    np.testing.assert_allclose(np.sqrt(rk2[sel]), ref_rk[sel], rtol=1e-4)
+    assert np.all(cnt[sel] >= k)  # == k up to exact-distance ties
+
+
+def test_backend_parity(scene):
+    nx = np.asarray(estimate_normals(scene, k=15, backend="xla"))
+    nf = np.asarray(estimate_normals(scene, k=15, backend="pallas"))
+    assert np.abs(np.linalg.norm(nf, axis=1) - 1).max() < 1e-5
+    dots = np.abs(np.sum(nx * nf, axis=1))
+    assert (dots > 0.99).mean() > 0.95
+    assert np.median(dots) > 0.999
+
+
+def test_geometric_truth(scene):
+    n2 = len(scene) // 2
+    nf = np.asarray(estimate_normals(scene, k=15, backend="pallas"))
+    assert np.median(np.abs(nf[:n2, 2])) > 0.99  # floor -> +-z
+    assert np.median(np.abs(nf[n2:, 1])) > 0.99  # wall -> +-y
+
+
+def test_isolated_points_unresolved_fallback():
+    """A cloud with far-flung isolated points: their windows hold < k
+    candidates -> unresolved -> XLA wide re-search still yields unit
+    normals (no NaNs, no zero vectors)."""
+    rng = np.random.RandomState(2)
+    dense = rng.rand(3000, 3).astype(np.float32) * np.float32([5, 5, 0.02])
+    lone = (rng.rand(20, 3).astype(np.float32) * 3 + np.float32([40, 40, 0]))
+    pts = np.vstack([dense, lone]).astype(np.float32)
+    cov6, cnt, rk2, unres, exact = _run_kernel(pts, 15, cell=0.15)
+    assert unres[3000:].any()  # isolated points flagged
+    nrm = np.asarray(estimate_normals(pts, k=15, backend="pallas"))
+    assert np.isfinite(nrm).all()
+    assert np.abs(np.linalg.norm(nrm, axis=1) - 1).max() < 1e-4
+
+
+def test_count_is_k_without_ties(scene):
+    k = 15
+    cov6, cnt, rk2, unres, exact = _run_kernel(scene[:3000], k, cell=0.4)
+    ok = ~unres
+    # random coordinates: exact-distance ties are measure-zero
+    assert np.all(cnt[ok] == k)
