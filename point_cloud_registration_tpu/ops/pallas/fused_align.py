@@ -90,14 +90,11 @@ class FusedSpec:
     # software-pipeline the unrolled probes, but every probe's buffers are
     # live at once — only safe when TQ * NR one-hots fit the VMEM budget
     unroll: bool = False
-    # table layout: "3d" = (nby, nbz8, nbx, row) blocks of DENSE_BLOCK cells;
-    # "zcol" = (nby, nbx, row) 2D block grid where each row holds the FULL z
-    # column of a (bx, by) footprint (block = (bx, by, nz)). zcol collapses
-    # the one-hot space from RY*nbz8*RX to RY*RX rows and eliminates
-    # z-probing entirely (the row is a z-superset of the window — a superset
-    # search is still the exact gated nearest); right for LiDAR-like maps
-    # whose z extent is tens of cells.
-    layout: str = "3d"
+    # NOTE on layouts: this kernel implements exactly one table layout, the
+    # (nby, nbz8, nbx, row) dense block grid. Raw-point kinds (which would
+    # have needed a z-collapsed or sparse layout to stay in memory) are
+    # served by the tile-local CSR kernel in ops/pallas/point_align.py
+    # instead.
 
     @property
     def feat_dim(self) -> int:
@@ -109,23 +106,12 @@ class FusedSpec:
 
     @property
     def spans(self) -> tuple[int, int, int]:
-        sx, sy, sz = (
+        return tuple(
             (2 * self.radius + b - 1) // b + 1 for b in self.block
         )
-        if self.layout == "zcol":
-            sz = 1  # the row already holds every z cell
-        return (sx, sy, sz)
-
-    @property
-    def cs(self) -> int:
-        """zcol component stride: candidate slots padded to the lane tiling
-        so each coordinate/feature group is a 128-aligned lane slice."""
-        return padded_row_width(self.ncand)
 
     @property
     def row_width(self) -> int:
-        if self.layout == "zcol":
-            return (3 + self.feat_dim) * self.cs
         return padded_row_width(3 * self.ncand) + (
             padded_row_width(self.feat_dim * self.ncand) if self.feat_dim else 0
         )

@@ -547,7 +547,8 @@ def sqrt_icov_packed(icovs: jax.Array) -> jax.Array:
     )
 
 
-def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10) -> VoxelMap:
+def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10,
+                     return_dropped: bool = False):
     """Incrementally merge ``new_points`` into an existing dense-direct map.
 
     The capability the reference declares but never implements
@@ -557,9 +558,10 @@ def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10) -> VoxelMap
     blocked query table is rebuilt — no sort, no re-touching of old points.
 
     Points outside the map's bounding box cannot extend a dense grid and are
-    dropped (extend by rebuilding with ``build_voxel_map``); the count of
-    dropped points is available from ``counts`` bookkeeping if needed.
-    Requires a dense-direct map (``grid.dense is not None``).
+    dropped (extend by rebuilding with ``build_voxel_map``). Pass
+    ``return_dropped=True`` to get ``(map, n_dropped)`` — a SLAM loop
+    feeding a growing scene should watch the count and rebuild when it
+    goes non-zero. Requires a dense-direct map (``grid.dense is not None``).
     """
     if vm.grid.dense is None:
         raise NotImplementedError("update_voxel_map requires a dense-direct map")
@@ -571,7 +573,8 @@ def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10) -> VoxelMap
     new_points = jnp.asarray(new_points, dtype=jnp.float32)
     with_icov = vm.icovs is not None
     nb_dims = tuple(int(x) for x in jax.device_get(vm.nb_dims)) if vm.nb_dims is not None else None
-    vm2 = _update_voxel_map_dense(vm, new_points, with_icov=with_icov, min_points=min_points)
+    vm2, n_dropped = _update_voxel_map_dense(
+        vm, new_points, with_icov=with_icov, min_points=min_points)
     # jit tracing turns the host-NumPy grid geometry into device arrays on
     # the way through — restore the host copies so later syncs stay free
     vm2 = vm2._replace(grid=vm2.grid._replace(
@@ -597,6 +600,8 @@ def update_voxel_map(vm: VoxelMap, new_points, min_points: int = 10) -> VoxelMap
             feats = None
         blocks = _dense_blocks_jit(vm2.means, vm2.valid, dims, nb, feats)
         vm2 = vm2._replace(dense_blocks=blocks, nb_dims=np.asarray(nb, np.int32))
+    if return_dropped:
+        return vm2, n_dropped
     return vm2
 
 
@@ -608,6 +613,7 @@ def _update_voxel_map_dense(vm: VoxelMap, new_points, *, with_icov, min_points):
     coords = cell_coords(new_points, grid.cell_size)
     rel = coords - grid.origin_cell
     in_range = jnp.all((rel >= 0) & (rel < grid.dims), axis=-1)
+    n_dropped = jnp.sum(jnp.logical_not(in_range)).astype(jnp.int32)
     key = rel[:, 0] + nx * (rel[:, 1] + ny * rel[:, 2])
     key = jnp.where(in_range, key, d_total)  # out-of-bounds -> dropped
 
@@ -666,7 +672,7 @@ def _update_voxel_map_dense(vm: VoxelMap, new_points, *, with_icov, min_points):
         counts=counts,
         valid=valid,
         icovs=icovs,
-    )
+    ), n_dropped
 
 
 def _outer6(v: jax.Array) -> jax.Array:

@@ -7,6 +7,7 @@ from point_cloud_registration_tpu.parallel.map_sharded import (
     align_map_sharded,
     make_map_mesh,
     shard_voxel_map,
+    shard_voxel_map_on_mesh,
 )
 from point_cloud_registration_tpu.parallel.mesh import make_mesh
 from point_cloud_registration_tpu.parallel.sharded import (

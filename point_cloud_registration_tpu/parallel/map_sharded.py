@@ -62,9 +62,14 @@ class ShardedMapMeta:
     """Static geometry of a sharded map (host ints -> jit-static)."""
 
     n_shards: int
-    dims_slab: tuple[int, int, int]  # (nx, ny, nz_slab) cells per slab
+    dims_slab: tuple[int, int, int]  # cells per slab
     origin_cell: tuple[int, int, int]  # global min cell coordinate
     cell_size: float
+    # shard axis: 2 (z) for the local reshape builder; the distributed
+    # builder picks the widest bbox axis so slabs are thick relative to
+    # max_dist (a query window then overlaps <= 2 slabs) and LiDAR-flat
+    # scenes still balance
+    axis: int = 2
 
     @property
     def slab_cells(self) -> int:
@@ -93,11 +98,11 @@ def shard_voxel_map(
 ) -> tuple[ShardedVoxelMap, ShardedMapMeta]:
     """Build a z-slab-sharded dense voxel map.
 
-    This builder still materializes the global map on one device (the tests'
-    maps are small); placing the returned leading-axis arrays with a
-    ``P("model")`` sharding is what distributes them. For genuinely
-    beyond-HBM maps, build each slab on its owning host from that host's
-    points (the per-slab arithmetic below is already slab-local).
+    This builder materializes the global map on one device first (fine for
+    maps that fit — it is the cheapest path and keeps z-slab semantics for
+    the parity tests). For beyond-HBM maps use
+    :func:`shard_voxel_map_on_mesh`, which builds each slab directly on its
+    owning devices — the global dense array never exists anywhere.
     """
     points = jnp.asarray(points, jnp.float32)
     lo_cell, hi_cell = _bbox_cells(points, voxel_size)
@@ -144,14 +149,98 @@ def shard_voxel_map(
     )
 
 
+def _slab_origin(meta: ShardedMapMeta, rank):
+    """Global origin cell of shard ``rank``'s slab (shifted along meta.axis)."""
+    step = [jnp.int32(0)] * 3
+    step[meta.axis] = rank * jnp.int32(meta.dims_slab[meta.axis])
+    return jnp.asarray(meta.origin_cell, jnp.int32) + jnp.stack(step)
+
+
+def shard_voxel_map_on_mesh(
+    points,
+    voxel_size: float,
+    mesh: Mesh,
+    *,
+    min_points: int = 10,
+    with_icov: bool = False,
+    axis: str | int = "auto",
+) -> tuple[ShardedVoxelMap, ShardedMapMeta]:
+    """Build a slab-sharded voxel map DIRECTLY on the mesh: each device
+    scatters the (replicated) points into its own slab's arrays, so no
+    global dense array ever exists on any device — per-device HBM is the
+    slab plus the raw points, and map capacity scales linearly with the
+    ``model`` axis. (Raw points are small next to a dense grid: 1.2M points
+    are 14 MB while their 1 m dense map with features is ~1 GB.)
+
+    ``axis="auto"`` shards along the widest bbox axis, so slabs stay thick
+    relative to ``max_dist`` (a query's window then overlaps at most two
+    slabs — what lets :func:`align_map_sharded` compact its per-slab query
+    set) and flat LiDAR scenes still balance across shards.
+    """
+    n_shards = mesh.shape["model"]
+    pts_np = np.asarray(points, np.float32)
+    points = jnp.asarray(pts_np)
+    lo_cell, hi_cell = _bbox_cells(pts_np, voxel_size)  # NumPy in: no sync
+    dims = [int(x) for x in (hi_cell - lo_cell + 1)]
+    ax = int(np.argmax(dims)) if axis == "auto" else int(axis)
+    ns = -(-dims[ax] // n_shards)
+    dims[ax] = ns * n_shards
+    dims_slab = tuple(ns if i == ax else d for i, d in enumerate(dims))
+    meta = ShardedMapMeta(
+        n_shards=n_shards,
+        dims_slab=dims_slab,
+        origin_cell=tuple(int(x) for x in lo_cell),
+        cell_size=float(voxel_size),
+        axis=ax,
+    )
+    nb_slab = tuple(-(-d // b) for d, b in zip(dims_slab, DENSE_BLOCK))
+
+    def build_slab(pts):
+        rank = jax.lax.axis_index("model")
+        origin = _slab_origin(meta, rank)
+        vm = _build_voxel_map_dense(
+            pts,
+            origin,
+            jnp.float32(voxel_size),
+            dims_static=dims_slab,
+            min_points=min_points,
+            with_icov=with_icov,
+            with_normals=True,
+        )
+        feats = sqrt_icov_u6(vm.icovs) if with_icov else vm.normals
+        blocks = dense_blocks_from_dense(
+            vm.means, vm.valid, dims_slab, nb_slab, feats
+        )
+        add = lambda a: None if a is None else a[None]
+        return ShardedVoxelMap(
+            means=add(vm.means),
+            normals=add(vm.normals),
+            counts=add(vm.counts),
+            valid=add(vm.valid),
+            icovs=add(vm.icovs),
+            dense_blocks=add(blocks),
+        )
+
+    svm = jax.jit(
+        jax.shard_map(
+            build_slab,
+            mesh=mesh,
+            in_specs=(P(),),
+            out_specs=jax.tree.map(lambda _: P("model"), ShardedVoxelMap(
+                means=0, normals=0, counts=0, valid=0,
+                icovs=0 if with_icov else None, dense_blocks=0,
+            )),
+        )
+    )(points)
+    return svm, meta
+
+
 def _local_voxel_map(svm_slab: ShardedVoxelMap, meta: ShardedMapMeta, rank) -> VoxelMap:
     """Reassemble one device's slab as a self-contained :class:`VoxelMap`
-    whose grid origin is shifted to the slab's global z offset."""
+    whose grid origin is shifted to the slab's global offset."""
     c_slab = meta.slab_cells
     identity = jnp.arange(c_slab, dtype=jnp.int32)
-    origin = jnp.asarray(meta.origin_cell, jnp.int32) + jnp.stack(
-        [jnp.int32(0), jnp.int32(0), rank * jnp.int32(meta.dims_slab[2])]
-    )
+    origin = _slab_origin(meta, rank)
     nb_slab = tuple(-(-d // b) for d, b in zip(meta.dims_slab, DENSE_BLOCK))
     grid = Grid(
         origin_cell=origin,
@@ -205,24 +294,71 @@ def align_map_sharded(
         vm = _local_voxel_map(svm_local, meta, rank)
         c_slab = meta.slab_cells
 
+        n_s = source_s.shape[0]
+        radius = int(np.ceil(cfg.max_dist / meta.cell_size - 1e-9))
+        ns_ax = meta.dims_slab[meta.axis]
+        # per-slab query compaction capacity: a query's window overlaps at
+        # most ceil(2 * radius / slab_thickness) + 1 slabs, so the expected
+        # overlap set is that fraction of the scan; pad 2x for density skew
+        # along the shard axis, floor for tiny scans. A scalar lax.cond
+        # falls back to querying everything when the set overflows anyway —
+        # compaction is a throughput optimization, never a correctness one.
+        slabs_per_window = 2 * radius // max(ns_ax, 1) + 2
+        qcap = int(
+            min(n_s, max(512, -(-2 * slabs_per_window * n_s) // max(meta.n_shards, 1)))
+        )
+
         def stats_fn(T):
             R, _ = makeRt(T)
             q = transform_points(T, source_s)
             # full_window, not tiers: most queries' true voxels live on
             # OTHER shards, so the compacted unresolved tier would silently
             # overflow its capacity and leave stale near-pass results —
-            # every query probes the full max_dist window on its slab.
-            nn = query_nearest_voxel(
-                vm, q, voxel_size=meta.cell_size, max_dist=cfg.max_dist,
-                full_window=True,
+            # in-overlap queries probe the full max_dist window on the slab.
+            c_ax = (
+                jnp.floor(q[:, meta.axis] * np.float32(1.0 / meta.cell_size))
+                .astype(jnp.int32)
+                - meta.origin_cell[meta.axis]
             )
-            d = jnp.where(nn.idx >= 0, nn.dist, jnp.inf)
+            lo = rank * ns_ax - radius
+            hi = (rank + 1) * ns_ax + radius
+            ov = (c_ax >= lo) & (c_ax < hi) & (w_s > 0)
+            n_ov = jnp.sum(ov)
+
+            def query_all(_):
+                nn = query_nearest_voxel(
+                    vm, q, voxel_size=meta.cell_size, max_dist=cfg.max_dist,
+                    full_window=True,
+                )
+                return nn.dist, nn.idx
+
+            def query_compact(_):
+                # only the queries whose window can intersect this slab:
+                # ~2/S of the scan for thick slabs — the map-sharded align's
+                # per-iteration gather volume scales DOWN with shard count
+                idxs = jnp.nonzero(ov, size=qcap, fill_value=0)[0]
+                live = jnp.arange(qcap) < n_ov
+                nn = query_nearest_voxel(
+                    vm, q[idxs], voxel_size=meta.cell_size,
+                    max_dist=cfg.max_dist, full_window=True,
+                )
+                d0 = jnp.full((n_s,), jnp.inf, jnp.float32)
+                i0 = jnp.full((n_s,), -1, jnp.int32)
+                d = d0.at[idxs].set(jnp.where(live, nn.dist, jnp.inf))
+                i = i0.at[idxs].set(jnp.where(live, nn.idx, -1))
+                return d, i
+
+            if qcap >= n_s:
+                dist, idx = query_all(0)
+            else:
+                dist, idx = jax.lax.cond(n_ov > qcap, query_all, query_compact, 0)
+            d = jnp.where(idx >= 0, dist, jnp.inf)
             d_best = jax.lax.pmin(d, "model")
             win = (d == d_best) & jnp.isfinite(d)
             first = jax.lax.pmin(jnp.where(win, rank, _BIG_RANK), "model")
             win = win & (rank == first)
             w_eff = w_s * win.astype(jnp.float32) * (d < cfg.max_dist)
-            safe = jnp.clip(nn.idx, 0, c_slab - 1)
+            safe = jnp.clip(idx, 0, c_slab - 1)
             if kind == "vplane_icp":
                 st = plane_stats(
                     source_s, q, vm.means[safe], vm.normals[safe], w_eff, R,

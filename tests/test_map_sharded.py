@@ -132,3 +132,84 @@ def test_map_sharded_large_scan_beyond_tier_capacity(problem):
         np.asarray(out.T), np.asarray(single.T), atol=1e-5
     )
     assert int(out.diagnostics.iterations) == int(single.diagnostics.iterations)
+
+
+def test_distributed_builder_matches_local(problem):
+    """shard_voxel_map_on_mesh builds each slab on its own devices — the
+    global dense array never exists — and must reproduce the local reshape
+    builder's slabs (f32 partial-sum grouping differs, hence the atol)."""
+    from point_cloud_registration_tpu.parallel import shard_voxel_map_on_mesh
+
+    scene, _, _ = problem
+    mesh = make_map_mesh(model=4, data=2)
+    svm_l, meta_l = shard_voxel_map(scene, 1.0, n_shards=4, min_points=10)
+    svm_d, meta_d = shard_voxel_map_on_mesh(scene, 1.0, mesh, min_points=10, axis=2)
+    assert meta_l == meta_d
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(svm_l.counts)),
+        np.asarray(jax.device_get(svm_d.counts)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(svm_l.valid)),
+        np.asarray(jax.device_get(svm_d.valid)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(svm_l.means)),
+        np.asarray(jax.device_get(svm_d.means)),
+        atol=2e-5,
+    )
+
+
+@pytest.mark.parametrize("kind", ["vplane_icp", "ndt"])
+def test_on_mesh_auto_axis_align_matches_single(problem, kind):
+    """End-to-end: distributed build along the auto (widest) axis + the
+    compacted per-slab query == the single-device align."""
+    from point_cloud_registration_tpu.parallel import shard_voxel_map_on_mesh
+
+    scene, scan, _ = problem
+    if kind == "vplane_icp":
+        cfg = VPlaneICPConfig(voxel_size=1.0, max_iter=30, max_dist=2.0,
+                              tol=1e-3, backend="xla")
+        single = vplane_align(build_vplane_target(scene, cfg), *_args(scan), cfg)
+    else:
+        cfg = NDTConfig(voxel_size=1.0, max_iter=30, max_dist=2.0, tol=1e-3,
+                        backend="xla")
+        single = ndt_align(build_ndt_target(scene, cfg), *_args(scan), cfg)
+    mesh = make_map_mesh(model=4, data=2)
+    svm, meta = shard_voxel_map_on_mesh(
+        scene, 1.0, mesh, min_points=cfg.min_points, with_icov=(kind == "ndt")
+    )
+    src, w = pad_points(scan)
+    out = align_map_sharded(
+        kind, svm, meta, src, w, jnp.eye(4, dtype=jnp.float32), cfg, mesh
+    )
+    # the distributed builder's per-slab partial-sum grouping differs from
+    # the single build at f32 rounding level; NDT's icovs amplify it a bit
+    np.testing.assert_allclose(np.asarray(out.T), np.asarray(single.T), atol=5e-5)
+    assert int(out.diagnostics.iterations) == int(single.diagnostics.iterations)
+
+
+def test_on_mesh_skewed_scene_overflow_fallback(problem):
+    """All scan points inside ONE slab's overlap along the shard axis: the
+    owning slab's compaction capacity overflows and the scalar lax.cond
+    falls back to querying everything — results stay exact."""
+    from point_cloud_registration_tpu.parallel import shard_voxel_map_on_mesh
+
+    scene, _, _ = problem
+    rng = np.random.RandomState(13)
+    # cluster the scan at one end of the widest axis
+    lo = scene.min(0)
+    sel = np.argsort(scene[:, 0])[:4000]
+    scan = scene[sel][rng.choice(4000, 6000, replace=True)] + np.float32(
+        [0.05, -0.03, 0.1]
+    )
+    cfg = VPlaneICPConfig(voxel_size=1.0, max_iter=10, max_dist=2.0, tol=1e-3,
+                          backend="xla")
+    single = vplane_align(build_vplane_target(scene, cfg), *_args(scan), cfg)
+    mesh = make_map_mesh(model=4, data=2)
+    svm, meta = shard_voxel_map_on_mesh(scene, 1.0, mesh, min_points=cfg.min_points)
+    src, w = pad_points(scan)
+    out = align_map_sharded(
+        "vplane_icp", svm, meta, src, w, jnp.eye(4, dtype=jnp.float32), cfg, mesh
+    )
+    np.testing.assert_allclose(np.asarray(out.T), np.asarray(single.T), atol=1e-5)
