@@ -89,6 +89,52 @@ def make_city_map(rng: np.random.RandomState, n_total: int = 1_200_000) -> np.nd
     return pts
 
 
+def make_sparse_scene(rng: np.random.RandomState, n_total: int = 1_200_000) -> np.ndarray:
+    """Second scene family (sparse outdoor): undulating terrain + scattered
+    vegetation clusters over a ~300x300 m tile. Different density profile
+    from the city map — no planar walls, broad smooth ground, clumpy
+    volumetric canopies — to show parity/perf bounds are not tuned to one
+    geometry."""
+    extent = 300.0
+    n_ground = int(n_total * 0.55)
+    gx = rng.rand(n_ground) * extent
+    gy = rng.rand(n_ground) * extent
+    gz = (
+        1.5 * np.sin(gx * 0.05) * np.cos(gy * 0.04)
+        + 0.8 * np.sin(gx * 0.013 + 1.0)
+        + rng.randn(n_ground) * 0.04
+    )
+    ground = np.stack([gx, gy, gz], axis=1)
+    n_veg = n_total - n_ground
+    n_clusters = 300
+    n_per = n_veg // n_clusters
+    centers = rng.rand(n_clusters, 2) * extent
+    heights = 2.0 + rng.rand(n_clusters) * 10.0
+    radii = 0.5 + rng.rand(n_clusters) * 2.5
+    veg = []
+    for c, h, r in zip(centers, heights, radii):
+        base = 1.5 * np.sin(c[0] * 0.05) * np.cos(c[1] * 0.04)
+        veg.append(
+            np.stack(
+                [
+                    c[0] + rng.randn(n_per) * r,
+                    c[1] + rng.randn(n_per) * r,
+                    base + rng.rand(n_per) * h,
+                ],
+                axis=1,
+            )
+        )
+    rest = n_veg - n_per * n_clusters
+    pad = np.stack(
+        [rng.rand(rest) * extent, rng.rand(rest) * extent, rng.rand(rest) * 3],
+        axis=1,
+    )
+    return np.vstack([ground, *veg, pad]).astype(np.float32)
+
+
+SCENES = {"city": make_city_map, "sparse": make_sparse_scene}
+
+
 def make_scan(rng, map_points, num_points=100_000):
     """scan = map + t[0,0,0.3], random 100k subsample, N(0, 0.005) noise
     (benchmark/test_data.py:21-44)."""

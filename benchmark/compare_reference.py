@@ -59,16 +59,26 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--n-map", type=int, default=1_200_000)
     ap.add_argument("--n-scan", type=int, default=100_000)
+    ap.add_argument("--scene", choices=["city", "sparse", "both"], default="both",
+                    help="scene family; 'both' reports the two-scene table")
     args = ap.parse_args()
 
     import bench
 
+    ref = import_reference()
+    scenes = ["city", "sparse"] if args.scene == "both" else [args.scene]
+    for scene in scenes:
+        print(f"\n=== scene: {scene} ===")
+        run_scene(ref, bench.SCENES[scene], args)
+
+
+def run_scene(ref, make_map, args):
+    import bench
+
     rng = np.random.RandomState(42)
-    map_np = bench.make_city_map(rng, args.n_map)
+    map_np = make_map(rng, args.n_map)
     scan_np = bench.make_scan(rng, map_np, args.n_scan)
     print(f"map {map_np.shape}, scan {scan_np.shape}")
-
-    ref = import_reference()
     import jax
     import jax.numpy as jnp
 
@@ -164,7 +174,15 @@ def main():
     d_ours, _ = knn_packed(pg, map_dev[jnp.asarray(sel)], 15)
     d_ref, _ = tree.query(map_np[sel].astype(np.float32), k=15)
     exact = np.abs(np.asarray(d_ours)[:, -1] - d_ref[:, -1]) < 1e-4
-    print(f"k-NN (k=15) kth-distance exact fraction @50k sample: {exact.mean():.4f}")
+    print(f"k-NN (k=15) kth-distance exact fraction @50k sample (XLA path): {exact.mean():.4f}")
+
+    # the fused-kernel pipeline's own provable-exactness flag (radius-2 base
+    # + radius-4 tail tier), full map — kernel path only (None on CPU runs,
+    # where interpret mode at 1.2M would take hours)
+    _, info = est_dev(map_dev, k=15, backend="auto", return_info=True)
+    if info["exact"] is not None:
+        frac = float(np.asarray(jax.device_get(info["exact"])).mean())
+        print(f"k-NN provably-exact fraction, fused kernel + wide tail (full map): {frac:.4f}")
 
 
 if __name__ == "__main__":

@@ -120,6 +120,8 @@ def estimate_normals(
     cell_size: float | None = None,
     cell_cap: int | None = None,
     backend: str = "auto",
+    exact_tail: bool = True,
+    return_info: bool = False,
 ) -> jax.Array:
     """Estimate unit normals for every point of a cloud (N, 3) -> (N, 3).
 
@@ -132,9 +134,11 @@ def estimate_normals(
     the same provable-exactness radius (``2 * cell``) as the XLA path's
     exact-tail tier; "xla" forces the gather-based packed-block k-NN
     (ops/pointgrid.knn_packed); "pallas" forces the kernel (interpreted
-    off-TPU — tests). Tail neighborhoods wider than the provable radius are
-    approximate on both paths (quantified in tests/benchmarks, harmless for
-    PCA normals).
+    off-TPU — tests). With ``exact_tail`` the kernel path re-searches the
+    non-exact tail at twice the radius (provable exactness to ``4 * cell``).
+    Tail neighborhoods wider than the provable radius are approximate on
+    both paths (quantified in tests/benchmarks, harmless for PCA normals).
+    ``return_info`` -> ``(normals, {"exact": per-point bool | None})``.
     """
     from point_cloud_registration_tpu.ops.pointgrid import build_packed_grid
 
@@ -146,7 +150,8 @@ def estimate_normals(
     )
     if use_kernel:
         out = _estimate_normals_fused(
-            points, k, cell_size, interpret=jax.default_backend() != "tpu"
+            points, k, cell_size, interpret=jax.default_backend() != "tpu",
+            exact_tail=exact_tail, return_info=return_info,
         )
         if out is not None:
             return out
@@ -157,12 +162,23 @@ def estimate_normals(
     # are dozens of sequential dispatches (lax.map chunks, the tail cond),
     # which remote-attached TPUs serialize at tunnel latency — measured 12x
     # slower than the identical jitted program.
-    return _knn_normals_jit(pg, points, k)
+    nrm = _knn_normals_jit(pg, points, k)
+    if return_info:
+        return nrm, {"exact": None}  # the XLA path does not track exactness
+    return nrm
 
 
-def _estimate_normals_fused(points, k, cell_size, interpret):
-    """K4: fused k-NN moments kernel + closed-form eigh + compacted XLA
-    fallback for queries whose window held fewer than k candidates."""
+def _estimate_normals_fused(points, k, cell_size, interpret,
+                            exact_tail=True, return_info=False):
+    """K4: fused k-NN moments kernel + closed-form eigh.
+
+    Two kernel tiers: a radius-2 base pass over every point, then (with
+    ``exact_tail``) a radius-4 pass over the compacted non-exact tail —
+    pushing the provable-exactness radius from ``2 * cell`` to ``4 * cell``
+    and the exact fraction from ~70% to the high 90s on LiDAR-like scenes
+    (the XLA path stops at ``2 * cell``). Queries whose window held fewer
+    than k candidates fall back to a compacted wide XLA re-search.
+    """
     from point_cloud_registration_tpu.ops.pallas.knn_normals import (
         knn_moments_spec,
     )
@@ -172,14 +188,21 @@ def _estimate_normals_fused(points, k, cell_size, interpret):
     # kernel's radius-2 window more than compensates the slightly tighter
     # per-block truncation vs the XLA path's 3k cap
     pg = build_packed_grid(points, cell_size, cap=32)
-    spec = knn_moments_spec(pg)
+    spec = knn_moments_spec(pg, radius=2, tq=256, cb=256)
     if spec is None:
         return None
-    return _fused_normals_jit(pg, points, k, spec, interpret)
+    spec_wide = (
+        knn_moments_spec(pg, radius=4, tq=256, cb=384) if exact_tail else None
+    )
+    normals, exact = _fused_normals_jit(pg, points, k, spec, spec_wide, interpret)
+    if return_info:
+        return normals, {"exact": exact}
+    return normals
 
 
-@partial(jax.jit, static_argnames=("k", "spec", "interpret"))
-def _fused_normals_jit(pg, points, k, spec, interpret):
+def _knn_tier(pg, points_sub, w_live, k, spec, interpret):
+    """One kernel tier over a (possibly compacted) query subset: returns
+    (cov6, unresolved, exact) in the SUBSET's order."""
     from point_cloud_registration_tpu.ops.pallas.knn_normals import (
         knn_moments_call,
     )
@@ -188,31 +211,67 @@ def _fused_normals_jit(pg, points, k, spec, interpret):
         morton_layout,
         padded_point_capacity,
     )
+
+    m = points_sub.shape[0]
+    pos = morton_layout(spec, points_sub)
+    m_cap = padded_point_capacity(spec, m)
+    q_s = jnp.zeros((m_cap, 3), jnp.float32).at[pos].set(points_sub)
+    w_s = jnp.zeros((m_cap,), jnp.float32).at[pos].set(w_live)
+    keys, tab = build_tile_tables(spec, pg, q_s, w_s)
+    cov6, _, _, unres, exact = knn_moments_call(
+        spec, k, keys, tab, q_s, w_s, interpret=interpret
+    )
+    # un-scatter via the inverse permutation (scatter-SET vectorizes;
+    # a gather by pos would be row-bound)
+    inv = jnp.full((m_cap,), m, jnp.int32).at[pos].set(
+        jnp.arange(m, dtype=jnp.int32)
+    )
+    cov_o = jnp.zeros((m, 6), jnp.float32).at[inv].set(cov6, mode="drop")
+    unres_o = jnp.zeros((m,), bool).at[inv].set(unres, mode="drop")
+    exact_o = jnp.zeros((m,), bool).at[inv].set(exact, mode="drop")
+    return cov_o, unres_o, exact_o
+
+
+@partial(jax.jit, static_argnames=("k", "spec", "spec_wide", "interpret"))
+def _fused_normals_jit(pg, points, k, spec, spec_wide, interpret):
     from point_cloud_registration_tpu.ops.pointgrid import _knn_window_pass
 
     n = points.shape[0]
-    pos = morton_layout(spec, points)
-    n_cap = padded_point_capacity(spec, n)
-    q_s = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(points)
-    w_s = jnp.zeros((n_cap,), jnp.float32).at[pos].set(1.0)
-    keys, tab = build_tile_tables(spec, pg, q_s, w_s)
-    cov6, _, _, unres, _ = knn_moments_call(
-        spec, k, keys, tab, q_s, w_s, interpret=interpret
+    cov6, unres_o, exact_o = _knn_tier(
+        pg, points, jnp.ones((n,), jnp.float32), k, spec, interpret
     )
-    nrm_t = smallest_eigvec_sym3(cov6)  # tile layout
-    # un-scatter via the inverse permutation (scatter-SET vectorizes;
-    # a gather by pos would be row-bound)
-    inv = jnp.full((n_cap,), n, jnp.int32).at[pos].set(
-        jnp.arange(n, dtype=jnp.int32)
-    )
-    normals = (
-        jnp.zeros((n, 3), jnp.float32).at[inv].set(nrm_t, mode="drop")
-    )
-    unres_o = jnp.zeros((n,), bool).at[inv].set(unres, mode="drop")
 
-    # compacted fallback: isolated points whose radius-2 window held fewer
-    # than k candidates (or drifted/overflowed lists) re-search wider on
-    # the XLA path
+    if spec_wide is not None:
+        # exactness tier: re-search the non-exact tail at twice the radius
+        # on a compacted subset (overflow beyond the capacity keeps the
+        # base-pass approximation — a quality knob, never a correctness one)
+        tail = jnp.logical_not(exact_o) & jnp.logical_not(unres_o)
+        n_tail = jnp.sum(tail)
+        cap_t = int(max(min(n // 2, 1 << 19), min(n, 256)))
+
+        def wide(args):
+            cov6, exact_o = args
+            idxs = jnp.nonzero(tail, size=cap_t, fill_value=0)[0]
+            live = jnp.arange(cap_t) < n_tail
+            cov_w, unres_w, exact_w = _knn_tier(
+                pg, points[idxs], live.astype(jnp.float32), k, spec_wide,
+                interpret,
+            )
+            upd = (live & jnp.logical_not(unres_w))[:, None]
+            cov6 = cov6.at[idxs].set(jnp.where(upd, cov_w, cov6[idxs]))
+            exact_o2 = exact_o.at[idxs].set(
+                jnp.where(upd[:, 0], exact_w, exact_o[idxs])
+            )
+            return cov6, exact_o2
+
+        cov6, exact_o = jax.lax.cond(
+            n_tail > 0, wide, lambda a: a, (cov6, exact_o)
+        )
+
+    normals = smallest_eigvec_sym3(cov6)
+
+    # compacted fallback: isolated points whose window held fewer than k
+    # candidates (or drifted/overflowed lists) re-search wider on XLA
     n_un = jnp.sum(unres_o)
     cap_q = max(min(n // 16, 8192), min(n, 64))
 
@@ -224,7 +283,8 @@ def _fused_normals_jit(pg, points, k, spec, interpret):
         sub = normals_from_neighbors(points, wi, points[idxs])
         return nrm.at[idxs].set(jnp.where(live, sub, nrm[idxs]))
 
-    return jax.lax.cond(n_un > 0, fb, lambda x: x, normals)
+    normals = jax.lax.cond(n_un > 0, fb, lambda x: x, normals)
+    return normals, exact_o
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -140,3 +140,22 @@ def test_count_is_k_without_ties(scene):
     ok = ~unres
     # random coordinates: exact-distance ties are measure-zero
     assert np.all(cnt[ok] == k)
+
+
+def test_wide_tail_raises_exact_fraction(scene):
+    """The radius-4 tail tier must raise the provably-exact fraction and
+    leave already-exact normals untouched."""
+    nf_narrow, info_n = estimate_normals(
+        scene, k=15, backend="pallas", exact_tail=False, return_info=True
+    )
+    nf_wide, info_w = estimate_normals(
+        scene, k=15, backend="pallas", exact_tail=True, return_info=True
+    )
+    en = np.asarray(info_n["exact"])
+    ew = np.asarray(info_w["exact"])
+    assert ew.mean() > en.mean()
+    assert ew.mean() > 0.9
+    # points exact in BOTH passes have identical neighbor sets -> same normal
+    both = en & ew
+    dots = np.abs(np.sum(np.asarray(nf_narrow) * np.asarray(nf_wide), axis=1))
+    assert dots[both].min() > 1 - 1e-5
