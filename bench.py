@@ -296,6 +296,65 @@ def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
             ),
         }
     )
+
+    # raw-point fused kernel (ICP hot path): one stats iteration, amortized
+    try:
+        from point_cloud_registration_tpu.core.config import ICPConfig
+        from point_cloud_registration_tpu.models.icp import build_icp_target
+        from point_cloud_registration_tpu.ops.pallas.point_align import (
+            build_tile_tables,
+            morton_layout,
+            padded_point_capacity,
+            point_fused_spec,
+            point_stats_call,
+        )
+
+        icp_cfg = ICPConfig(max_dist=max_dist)
+        tgt = build_icp_target(map_pts, icp_cfg)
+        pspec = point_fused_spec(tgt.packed, "point", max_dist)
+        if pspec is not None:
+            npts = scan.shape[0]
+            pos = morton_layout(pspec, q0)
+            n_cap = padded_point_capacity(pspec, npts)
+            ps = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(scan)
+            ws = jnp.zeros((n_cap,), jnp.float32).at[pos].set(1.0)
+            qs = ps  # identity transform
+            keys, tab = build_tile_tables(pspec, tgt.packed, qs, ws)
+            jax.block_until_ready((keys, tab))
+
+            @jax.jit
+            def loop_point():
+                def body(i, acc):
+                    C, _ = point_stats_call(
+                        pspec, keys, tab, qs + acc * 0, ps, ws, rflat
+                    )
+                    return acc + C[0, 0] * 1e-20
+                return jax.lax.fori_loop(0, REP, body, 0.0)
+
+            t_pt = best(lambda: loop_point()) / REP
+            tiles_p = n_cap // pspec.tq
+            WAp = 3 * pspec.cs
+            Wp = pspec.row_width
+            pt_flops = tiles_p * (
+                len(pspec.probes) * pspec.tq * pspec.cb * WAp * 2
+                + pspec.tq * pspec.cb * Wp * 2
+            )
+            pt_bytes = tiles_p * (
+                pspec.cb * (Wp + 1) * 4 + pspec.tq * 7 * 4
+                + (8 * 128 + 8 * pspec.tq) * 4
+            )
+            out.update(
+                {
+                    "point_align_iter_ms": round(t_pt * 1e3, 2),
+                    "point_align_iter_tflops": round(pt_flops / t_pt / 1e12, 2),
+                    "point_align_iter_mxu_pct": round(
+                        100 * pt_flops / t_pt / 1e12 / V5E_MXU_F32_TFLOPS, 1
+                    ),
+                    "point_align_iter_gbs": round(pt_bytes / t_pt / 1e9, 1),
+                }
+            )
+    except Exception as e:  # roofline extras must never kill the bench
+        log("point roofline skipped:", repr(e))
     return out
 
 
