@@ -518,6 +518,35 @@ def main():
             f"{B / t_batch:.1f} registrations/s, {B * n_b / t_batch / 1e6:.2f} Mpts/s"
         )
         results["batched_regs_per_s"] = (B / t_batch, float("nan"))
+
+        # batched raw-point stream (ICP) on the tile-local CSR kernel
+        from point_cloud_registration_tpu.core.config import ICPConfig
+        from point_cloud_registration_tpu.models.icp import build_icp_target
+        from point_cloud_registration_tpu.models._point_fused import (
+            fused_point_align_batched,
+        )
+        from point_cloud_registration_tpu.ops.pallas.point_align import (
+            point_fused_spec,
+        )
+
+        icp_cfg2 = ICPConfig(max_iter=max_iter, max_dist=max_dist, tol=tol,
+                             fixed_tiers=True)
+        icp_tgt = build_icp_target(map_pts, icp_cfg2)
+        pspec = point_fused_spec(icp_tgt.packed, "point", max_dist)
+        if use_fused(icp_cfg2.backend, pspec):
+            def run_batch_icp():
+                Ts, diag = fused_point_align_batched(
+                    icp_tgt, None, scans, weights, init_Ts, icp_cfg2, pspec
+                )
+                jax.block_until_ready(Ts)
+                return Ts
+
+            t_bicp = timed(run_batch_icp)
+            log(
+                f"batched ICP (fused point stream): {B} x {n_b}-pt scans in "
+                f"{t_bicp:.3f}s -> {B / t_bicp:.1f} registrations/s"
+            )
+            results["batched_icp_regs_per_s"] = (B / t_bicp, float("nan"))
     except Exception as e:  # keep the headline metric robust
         log("batched bench failed:", repr(e))
 

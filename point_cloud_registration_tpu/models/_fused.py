@@ -205,6 +205,21 @@ def fused_voxel_align_batched(vm, sources, src_weights, init_Ts, cfg,
             lambda: add(C, jax.vmap(resolve_compact)(q, unres_b, w_s, src_s, Rs)),
         )
 
+    return batched_gauss_newton(stats_all, init_Ts, max_iter, tol)
+
+
+def batched_gauss_newton(stats_all, init_Ts, max_iter: int, tol: float):
+    """One batched Gauss-Newton while_loop over B problems.
+
+    Mirrors :func:`core.gn.gauss_newton`'s per-problem iteration semantics
+    exactly (solve -> check -> update; T frozen on the breaking step;
+    per-problem iteration counts). ``stats_all(Ts (B,4,4)) -> GNStats`` with
+    leading dim B. Shared by the batched voxel and batched point fused
+    streams.
+    """
+    B = init_Ts.shape[0]
+    arange_b = jnp.arange(B)
+
     def cond(c):
         return jnp.any(jnp.logical_not(c["done"]))
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
 from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
+from point_cloud_registration_tpu.models._fused import batched_gauss_newton
 from point_cloud_registration_tpu.ops.pallas.point_align import (
     PointFusedSpec,
     build_tile_tables,
@@ -111,3 +112,107 @@ def fused_point_align(target, normals, source, src_weight, init_T, cfg,
         )
 
     return gauss_newton(stats_fn, init_T, cfg.max_iter, cfg.tol)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "interpret"))
+def fused_point_align_batched(target, normals, sources, src_weights, init_Ts,
+                              cfg, spec: PointFusedSpec,
+                              interpret: bool = False):
+    """Batched multi-scan raw-point ``align`` on ONE kernel stream.
+
+    ``sources`` (B, n, 3) against one shared packed target — the point-kind
+    twin of models/_fused.fused_voxel_align_batched: every problem's
+    Morton-tiled queries (and their per-tile key lists / local tables)
+    concatenate into one kernel launch per Gauss-Newton iteration, per-tile
+    rotations ride the scalar prefetch, per-problem stats segment-sum back,
+    and one batched GN while_loop drives all problems.
+
+    Returns ``(Ts (B, 4, 4), GNDiagnostics with leading dim B)``.
+    """
+    pg = target.packed
+    proxy = target.proxy
+    B, n, _ = sources.shape
+    sources = jnp.asarray(sources, jnp.float32)
+    init_Ts = jnp.asarray(init_Ts, jnp.float32)
+    tq = spec.tq
+    n_cap = padded_point_capacity(spec, n)
+    tiles_pp = n_cap // tq
+    fb_cap = int(max(min(n // 8, 16384), min(n, 256)))
+    proxy_vs = float(2 * spec.cell)
+
+    q0 = jax.vmap(transform_points)(init_Ts, sources)
+    pos = jax.vmap(lambda q: morton_layout(spec, q))(q0)  # (B, n)
+
+    def scat(p1, w1, pos1):
+        pp = jnp.zeros((n_cap, 3), jnp.float32).at[pos1].set(p1)
+        wp = jnp.zeros((n_cap,), jnp.float32).at[pos1].set(w1)
+        return pp, wp
+
+    src_s, w_s = jax.vmap(scat)(sources, src_weights, pos)  # (B, n_cap, .)
+    q0_s = jax.vmap(transform_points)(init_Ts, src_s)
+    keys_b, tab_b = jax.vmap(
+        lambda q1, w1: build_tile_tables(spec, pg, q1, w1)
+    )(q0_s, w_s)
+    keys = keys_b.reshape(B * tiles_pp, spec.cb)
+    tab = tab_b.reshape(B * tiles_pp, spec.cb, spec.row_width)
+
+    def stats_all(Ts):
+        Rs = jax.vmap(lambda T: makeRt(T)[0])(Ts)  # (B, 3, 3)
+        rflat_t = jnp.repeat(Rs.reshape(B, 9), tiles_pp, axis=0)
+        q = jax.vmap(transform_points)(Ts, src_s)  # (B, n_cap, 3)
+        stats, unres = point_stats_call(
+            spec, keys, tab, q.reshape(-1, 3), src_s.reshape(-1, 3),
+            w_s.reshape(-1), rflat_t, interpret=interpret, per_tile=True,
+        )
+        C = jnp.sum(stats.reshape(B, tiles_pp, 8, 128), axis=1)[:, :, :8]
+        unres_b = unres.reshape(B, n_cap)
+
+        def _sub_stats(qs, ps, ws, R):
+            t1 = nearest_point_packed(pg, qs)
+            pnn = query_nearest_voxel(
+                proxy, qs, voxel_size=proxy_vs, max_dist=spec.max_dist,
+                fixed_tiers=True,  # vmapped: switch would run every branch
+            )
+            use_raw = t1.resolved
+            dist = jnp.where(use_raw, t1.dist, pnn.dist)
+            safe_raw = jnp.clip(t1.idx, 0, target.points.shape[0] - 1)
+            safe_p = jnp.clip(pnn.idx, 0, proxy.means.shape[0] - 1)
+            tgt = jnp.where(
+                use_raw[:, None], target.points[safe_raw], proxy.means[safe_p]
+            )
+            found = jnp.where(use_raw, t1.idx >= 0, pnn.idx >= 0)
+            ws = ws * (dist < spec.max_dist) * found
+            if spec.kind == "plane_pt":
+                nrm = jnp.where(
+                    use_raw[:, None], normals[safe_raw], proxy.normals[safe_p]
+                )
+                return plane_stats(ps, qs, tgt, nrm, ws, R,
+                                   huber_delta=spec.huber_delta)
+            return point_stats(ps, qs, tgt, ws, R, huber_delta=spec.huber_delta)
+
+        def resolve_compact(qb, unb, wb, pb, R):
+            n_un = jnp.sum(unb)
+            idxs = jnp.nonzero(unb, size=fb_cap, fill_value=0)[0]
+            live = jnp.arange(fb_cap) < n_un
+            return _sub_stats(qb[idxs], pb[idxs], wb[idxs] * live, R)
+
+        def resolve_full(qb, unb, wb, pb, R):
+            return _sub_stats(qb, pb, wb * unb, R)
+
+        def add(Cb, sub):
+            return GNStats(
+                H=Cb[:, :6, :6] + sub.H,
+                g=Cb[:, :6, 6] + sub.g,
+                e2=Cb[:, 6, 6] + sub.e2,
+                n_inliers=Cb[:, 7, 7] + sub.n_inliers,
+            )
+
+        overflow = jnp.any(jnp.sum(unres_b, axis=1) > fb_cap)
+        return jax.lax.cond(
+            overflow,
+            lambda: add(C, jax.vmap(resolve_full)(
+                q, unres_b.astype(jnp.float32), w_s, src_s, Rs)),
+            lambda: add(C, jax.vmap(resolve_compact)(q, unres_b, w_s, src_s, Rs)),
+        )
+
+    return batched_gauss_newton(stats_all, init_Ts, cfg.max_iter, cfg.tol)

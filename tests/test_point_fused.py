@@ -225,3 +225,72 @@ def test_width_mismatch_yields_no_spec(scene):
     target = build_icp_target(pts, ICPConfig(corr=PACKED))
     assert target.packed.width == 3
     assert point_fused_spec(target.packed, "plane_pt", 2.0) is None
+
+
+def test_fused_point_batched_matches_per_problem(scene):
+    """Batched stream == per-problem fused align for both point kinds."""
+    from point_cloud_registration_tpu.models._point_fused import (
+        fused_point_align_batched,
+    )
+
+    pts, _ = scene
+    rng = np.random.RandomState(21)
+    B, n = 3, 2500
+    offs = [(0.06, -0.04, 0.08), (0.3, 0.2, -0.15), (-0.1, 0.12, 0.05)]
+    scans = np.stack(
+        [
+            pts[rng.choice(len(pts), n, replace=False)] + np.float32(o)
+            + rng.randn(n, 3).astype(np.float32) * 0.004
+            for o in offs
+        ]
+    )
+    weights = jnp.ones((B, n), jnp.float32)
+    init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+
+    cfg = ICPConfig(corr=PACKED, max_iter=10)
+    target = build_icp_target(pts, cfg)
+    spec = point_fused_spec(target.packed, "point", cfg.max_dist)
+    Ts, diag = fused_point_align_batched(
+        target, None, scans, weights, init_Ts, cfg, spec, interpret=True
+    )
+    assert np.isfinite(np.asarray(Ts)).all()
+    for b in range(B):
+        T1, d1 = fused_point_align(
+            target, None, scans[b], weights[b], jnp.eye(4, dtype=jnp.float32),
+            cfg, spec, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(Ts[b]), np.asarray(T1), atol=5e-4)
+        assert int(diag.iterations[b]) == int(d1.iterations)
+
+
+def test_fused_plane_pt_batched(scene):
+    from point_cloud_registration_tpu.models._point_fused import (
+        fused_point_align_batched,
+    )
+
+    pts, _ = scene
+    rng = np.random.RandomState(22)
+    B, n = 2, 2500
+    scans = np.stack(
+        [
+            pts[rng.choice(len(pts), n, replace=False)]
+            + np.float32([0.05 * (b + 1), -0.03, 0.07])
+            + rng.randn(n, 3).astype(np.float32) * 0.004
+            for b in range(B)
+        ]
+    )
+    weights = jnp.ones((B, n), jnp.float32)
+    init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+    cfg = PlaneICPConfig(corr=PACKED, max_iter=10)
+    target = build_plane_icp_target(pts, cfg)
+    spec = point_fused_spec(target.corr.packed, "plane_pt", cfg.max_dist)
+    Ts, diag = fused_point_align_batched(
+        target.corr, target.normals, scans, weights, init_Ts, cfg, spec,
+        interpret=True,
+    )
+    for b in range(B):
+        T1, d1 = fused_point_align(
+            target.corr, target.normals, scans[b], weights[b],
+            jnp.eye(4, dtype=jnp.float32), cfg, spec, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(Ts[b]), np.asarray(T1), atol=5e-4)
