@@ -189,7 +189,9 @@ def _segment_acc(key, vals, d_total: int, *, presorted: bool = False):
     # chunk summaries + associative scan carry segments across chunk borders
     last_key = kc[:, -1]
     first_key = kc[:, 0]
-    suffix = jnp.sum(jnp.where((kc == last_key[:, None])[..., None], vc, 0.0), axis=1)
+    # the last position's full-chunk key-sum IS the chunk suffix — no
+    # second masked pass over (nch, CH, W)
+    suffix = S[:, -1, :]
     all_same = first_key == last_key
 
     def comb(a, b):
