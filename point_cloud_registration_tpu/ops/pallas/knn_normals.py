@@ -156,18 +156,21 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
         # exact k-th distance: next-min threshold ascent. Each step consumes
         # every candidate tied at the current threshold (ties counted, not
         # re-visited), so k steps suffice for k neighbors.
+        # int32 loop carries (not bool): Mosaic's proven pattern in the
+        # align kernels' fori_loops
         def sel_body(_, carry):
             thr, rk, done = carry
             nxt = jnp.min(jnp.where(d2 > thr[:, None], d2, _MISS_D2), axis=1)
-            cnt = jnp.sum((d2 <= nxt[:, None]) & real, axis=1)
-            reached = cnt >= k
-            rk = jnp.where(reached & jnp.logical_not(done), nxt, rk)
-            return nxt, rk, done | reached
+            cnt = jnp.sum(((d2 <= nxt[:, None]) & real).astype(jnp.int32), axis=1)
+            reached = (cnt >= k).astype(jnp.int32)
+            rk = jnp.where((reached > 0) & (done == 0), nxt, rk)
+            return nxt, rk, jnp.maximum(done, reached)
 
         thr0 = jnp.full((TQ,), -1.0, jnp.float32)
         rk0 = jnp.full((TQ,), _MISS_D2, jnp.float32)
-        done0 = jnp.zeros((TQ,), bool)
-        _, rk, done = jax.lax.fori_loop(0, k, sel_body, (thr0, rk0, done0))
+        done0 = jnp.zeros((TQ,), jnp.int32)
+        _, rk, done_i = jax.lax.fori_loop(0, k, sel_body, (thr0, rk0, done0))
+        done = done_i > 0
 
         # selection mask: the k nearest (all real candidates when the window
         # holds fewer than k — those queries are flagged unresolved)
