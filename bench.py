@@ -319,7 +319,7 @@ def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
             ps = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(scan)
             ws = jnp.zeros((n_cap,), jnp.float32).at[pos].set(1.0)
             qs = ps  # identity transform
-            keys, tab = build_tile_tables(pspec, tgt.packed, qs, ws)
+            keys, _, tab = build_tile_tables(pspec, tgt.packed, qs, ws)
             jax.block_until_ready((keys, tab))
 
             @jax.jit
@@ -338,6 +338,9 @@ def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
             pt_flops = tiles_p * (
                 len(pspec.probes) * pspec.tq * pspec.cb * WAp * 2
                 + pspec.tq * pspec.cb * Wp * 2
+                # linearize reduction, same convention as the voxel row
+                # (kind='point' reduces 3 whitened rows of [J | r | 1])
+                + 3 * 8 * pspec.tq * 8 * 2
             )
             pt_bytes = tiles_p * (
                 pspec.cb * (Wp + 1) * 4 + pspec.tq * 7 * 4

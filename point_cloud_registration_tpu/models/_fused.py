@@ -145,7 +145,6 @@ def fused_voxel_align_batched(vm, sources, src_weights, init_Ts, cfg,
         return pp, wp
 
     src_s, w_s = jax.vmap(scat)(sources, src_weights, pos)  # (B, n_cap_al, .)
-    arange_b = jnp.arange(B)
 
     def stats_all(Ts):
         Rs = jax.vmap(lambda T: makeRt(T)[0])(Ts)  # (B, 3, 3)

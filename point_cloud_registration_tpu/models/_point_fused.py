@@ -52,7 +52,7 @@ def fused_point_align(target, normals, source, src_weight, init_T, cfg,
     src_s = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(source)
     w_s = jnp.zeros((n_cap,), jnp.float32).at[pos].set(src_weight)
     q0_s = transform_points(init_T, src_s)
-    keys, tab = build_tile_tables(spec, pg, q0_s, w_s)
+    keys, _, tab = build_tile_tables(spec, pg, q0_s, w_s)
     fb_cap = int(max(min(n // 8, 16384), min(n, 256)))
     proxy_vs = float(2 * spec.cell)  # a packed block IS a proxy voxel
 
@@ -150,7 +150,7 @@ def fused_point_align_batched(target, normals, sources, src_weights, init_Ts,
 
     src_s, w_s = jax.vmap(scat)(sources, src_weights, pos)  # (B, n_cap, .)
     q0_s = jax.vmap(transform_points)(init_Ts, src_s)
-    keys_b, tab_b = jax.vmap(
+    keys_b, _, tab_b = jax.vmap(
         lambda q1, w1: build_tile_tables(spec, pg, q1, w1)
     )(q0_s, w_s)
     keys = keys_b.reshape(B * tiles_pp, spec.cb)

@@ -151,7 +151,7 @@ def estimate_normals(
     if use_kernel:
         out = _estimate_normals_fused(
             points, k, cell_size, interpret=jax.default_backend() != "tpu",
-            exact_tail=exact_tail, return_info=return_info,
+            exact_tail=exact_tail, return_info=return_info, cell_cap=cell_cap,
         )
         if out is not None:
             return out
@@ -169,7 +169,8 @@ def estimate_normals(
 
 
 def _estimate_normals_fused(points, k, cell_size, interpret,
-                            exact_tail=True, return_info=False):
+                            exact_tail=True, return_info=False,
+                            cell_cap=None):
     """K4: fused k-NN moments kernel + closed-form eigh.
 
     Two kernel tiers: a radius-2 base pass over every point, then (with
@@ -184,10 +185,13 @@ def _estimate_normals_fused(points, k, cell_size, interpret,
     )
     from point_cloud_registration_tpu.ops.pointgrid import build_packed_grid
 
-    # cap 32 keeps the fused row at one 128-lane group (4 sub-blocks); the
-    # kernel's radius-2 window more than compensates the slightly tighter
-    # per-block truncation vs the XLA path's 3k cap
-    pg = build_packed_grid(points, cell_size, cap=32)
+    # cap 32 keeps the fused row at one 128-lane group (4 sub-blocks);
+    # auto_cap escalates it (64/96) when >1% of points would be truncated
+    # (volumetric clouds) — measured inside the build's existing sync —
+    # and truncated blocks are flagged so 'exact' is never overclaimed.
+    # cell_cap overrides (the fused row pads to the next 128-lane multiple).
+    pg = build_packed_grid(points, cell_size, cap=cell_cap or 32,
+                           auto_cap=cell_cap is None)
     spec = knn_moments_spec(pg, radius=2, tq=256, cb=256)
     if spec is None:
         return None
@@ -217,9 +221,9 @@ def _knn_tier(pg, points_sub, w_live, k, spec, interpret):
     m_cap = padded_point_capacity(spec, m)
     q_s = jnp.zeros((m_cap, 3), jnp.float32).at[pos].set(points_sub)
     w_s = jnp.zeros((m_cap,), jnp.float32).at[pos].set(w_live)
-    keys, tab = build_tile_tables(spec, pg, q_s, w_s)
+    keys, flags, tab = build_tile_tables(spec, pg, q_s, w_s)
     cov6, _, _, unres, exact = knn_moments_call(
-        spec, k, keys, tab, q_s, w_s, interpret=interpret
+        spec, k, keys, flags, tab, q_s, w_s, interpret=interpret
     )
     # un-scatter via the inverse permutation (scatter-SET vectorizes;
     # a gather by pos would be row-bound)
@@ -257,11 +261,14 @@ def _fused_normals_jit(pg, points, k, spec, spec_wide, interpret):
                 pg, points[idxs], live.astype(jnp.float32), k, spec_wide,
                 interpret,
             )
-            upd = (live & jnp.logical_not(unres_w))[:, None]
-            cov6 = cov6.at[idxs].set(jnp.where(upd, cov_w, cov6[idxs]))
-            exact_o2 = exact_o.at[idxs].set(
-                jnp.where(upd[:, 0], exact_w, exact_o[idxs])
-            )
+            # non-update slots (dead fills AND wide-unresolved) scatter out
+            # of range with mode=drop: a duplicate-index scatter-set applies
+            # an unspecified update, so fill index 0 could clobber point 0 —
+            # and cov6/exact_o must update ATOMICALLY together
+            upd = live & jnp.logical_not(unres_w)
+            scat = jnp.where(upd, idxs, n)
+            cov6 = cov6.at[scat].set(cov_w, mode="drop")
+            exact_o2 = exact_o.at[scat].set(exact_w, mode="drop")
             return cov6, exact_o2
 
         cov6, exact_o = jax.lax.cond(
@@ -277,11 +284,12 @@ def _fused_normals_jit(pg, points, k, spec, spec_wide, interpret):
 
     def fb(nrm):
         idxs = jnp.nonzero(unres_o, size=cap_q, fill_value=0)[0]
-        live = (jnp.arange(cap_q) < n_un)[:, None]
+        live = jnp.arange(cap_q) < n_un
         _, wi = _knn_window_pass(pg, points[idxs], k, radius=3 * spec.radius,
                                  chunk=min(cap_q, 2048))
         sub = normals_from_neighbors(points, wi, points[idxs])
-        return nrm.at[idxs].set(jnp.where(live, sub, nrm[idxs]))
+        # dead slots drop out of range (duplicate-index-0 hazard, as above)
+        return nrm.at[jnp.where(live, idxs, n)].set(sub, mode="drop")
 
     normals = jax.lax.cond(n_un > 0, fb, lambda x: x, normals)
     return normals, exact_o

@@ -102,10 +102,11 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
             out = d if out is None else out + d
         return out
 
-    def kernel(q_ref, w_ref, keys_ref, tab_ref, out_ref):
+    def kernel(q_ref, w_ref, keys_ref, flags_ref, tab_ref, out_ref):
         q = q_ref[...]  # (TQ, 3)
         w_in = w_ref[...][:, 0]
         keys = keys_ref[0, :]
+        flags = flags_ref[0, :]  # 1 where the entry's block was cap-truncated
         tab = tab_ref[0]
         parts = split_bf16(tab)
 
@@ -122,6 +123,7 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
         # candidate stash over all probes: deltas + distances live in VMEM
         dxs, dys, dzs, d2s = [], [], [], []
         miss = jnp.zeros((TQ,), jnp.int32)
+        cap_hit = jnp.zeros((TQ,), jnp.int32)
         for dx, dy, dz in probes:
             bx = gx + dx
             by = gy + dy
@@ -136,6 +138,11 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
             matched = jnp.sum(match.astype(jnp.int32), axis=1) > 0
             miss = jnp.maximum(
                 miss, (ok & jnp.logical_not(matched)).astype(jnp.int32)
+            )
+            # window touches a truncated block: candidates were dropped at
+            # pack time, so the k-set here is NOT provably exact
+            cap_hit = jnp.maximum(
+                cap_hit, jnp.sum(match.astype(jnp.int32) * flags[None, :], axis=1)
             )
             rows = onehot_gather(match, parts)
             ddx = q[:, 0:1] - rows[:, 0:NC]
@@ -189,7 +196,7 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
 
         live = w_in > 0
         unresolved = (jnp.logical_not(done) | (miss > 0)) & live
-        exact = done & (rk < exact_d2)
+        exact = done & (rk < exact_d2) & (cap_hit == 0)
 
         zeros = jnp.zeros_like(cnt)
         rows_out = (
@@ -207,7 +214,7 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
 
 
 @partial(jax.jit, static_argnames=("spec", "k", "interpret"))
-def knn_moments_call(spec: PointFusedSpec, k: int, keys, tab, q, w, *,
+def knn_moments_call(spec: PointFusedSpec, k: int, keys, flags, tab, q, w, *,
                      interpret=False):
     """Run the k-NN moments kernel over Morton-tiled queries.
 
@@ -236,13 +243,14 @@ def knn_moments_call(spec: PointFusedSpec, k: int, keys, tab, q, w, *,
             pl.BlockSpec((TQ, 3), lambda i: (i, 0)),
             pl.BlockSpec((TQ, 1), lambda i: (i, 0)),
             pl.BlockSpec((1, CB), lambda i: (i, 0)),
+            pl.BlockSpec((1, CB), lambda i: (i, 0)),
             pl.BlockSpec((1, CB, W), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, _N_OUT, TQ), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tiles, _N_OUT, TQ), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
-    )(q, w[:, None], keys, tab)
+    )(q, w[:, None], keys, flags, tab)
     flat = jnp.transpose(out, (0, 2, 1)).reshape(n_pad, _N_OUT)[:n]
     cov6 = flat[:, 0:6]
     count = flat[:, 6]

@@ -291,6 +291,7 @@ def build_tile_tables(spec: PointFusedSpec, pg, q_s, w_s):
     lz = rem // nb2y
     r_sent = jnp.int32(pg.pts_packed.shape[0] - 1)
     subrows = []
+    over = jnp.zeros(lists.shape, bool)
     for s in range(4):
         sx, sy = s % 2, s // 2
         px = lx * 2 + sx
@@ -298,7 +299,9 @@ def build_tile_tables(spec: PointFusedSpec, pg, q_s, w_s):
         okp = valid & (px < nbx) & (py < nby)
         pkey = px + nbx * (py + nby * lz)
         prow = pg.block_row[jnp.where(okp, pkey, 0)]
-        subrows.append(jnp.where(okp & (prow >= 0), prow, r_sent))
+        prow = jnp.where(okp & (prow >= 0), prow, r_sent)
+        over = over | (pg.row_over[prow] & (prow != r_sent))
+        subrows.append(prow)
     rows4 = jnp.stack(subrows, axis=-1)  # (nt, cb, 4)
     cap, w = spec.cap, spec.width
     raw = pg.pts_packed[rows4.reshape(-1)].reshape(nt, cb, 4, cap, w)
@@ -316,7 +319,7 @@ def build_tile_tables(spec: PointFusedSpec, pg, q_s, w_s):
     else:
         comps = coords
     tab = comps.reshape(nt, cb, spec.row_width)
-    return lists, tab
+    return lists, over.astype(jnp.int32), tab
 
 
 def _make_point_kernel(spec: PointFusedSpec):

@@ -58,6 +58,7 @@ class PackedPointGrid(NamedTuple):
     row_key: jax.Array  # (R+1,) i32 — packed row -> block key (-1 padding)
     pts_packed: jax.Array  # (R+1, cap*width) f32 — block points, +inf padded
     idx_packed: jax.Array  # (R+1, cap) i32 — original point indices, -1 padded
+    row_over: jax.Array  # (R+1,) bool — block held > cap points (truncated)
 
     @property
     def cap(self) -> int:
@@ -75,9 +76,17 @@ class PointNN(NamedTuple):
     resolved: jax.Array  # (N,) bool — dist < cell_fine: provably exact
 
 
-def build_packed_grid(points, cell_fine: float, cap: int = 32) -> PackedPointGrid:
+def build_packed_grid(points, cell_fine: float, cap: int = 32,
+                      auto_cap: bool = False) -> PackedPointGrid:
     """Build the packed tables. Host syncs: bounding box + occupied-block
-    count (two tiny transfers); the heavy sort/pack is one jitted program."""
+    count (two tiny transfers); the heavy sort/pack is one jitted program.
+
+    ``auto_cap``: treat ``cap`` as the base tier and escalate it (2x / 3x)
+    when more than 1% of points would be truncated at the current tier —
+    measured in the SAME program/sync that counts occupied blocks, so it
+    costs nothing extra. Volumetric clouds (vegetation clumps, dense
+    clusters) keep their exactness guarantees this way while surface-like
+    LiDAR stays at the cheap base tier."""
     points = jnp.asarray(points, jnp.float32)
     lo_cell, hi_cell = _bbox_cells(points, cell_fine)
     lo_cell = (lo_cell // _BLOCK) * _BLOCK  # align blocks to absolute 2*cell_fine cells
@@ -88,9 +97,17 @@ def build_packed_grid(points, cell_fine: float, cap: int = 32) -> PackedPointGri
         raise ValueError("block grid exceeds int32 keyspace; increase cell_fine")
 
     skey, spts, sidx, n_occ_dev = _keys_sort_count(
-        points, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine), nb_dims
+        points, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine), nb_dims,
+        overflow_caps=(cap, 2 * cap) if auto_cap else None,
     )
-    n_occ = int(jax.device_get(n_occ_dev))
+    if auto_cap:
+        n_occ_dev, over1, over2 = n_occ_dev
+        n_occ, o1, o2 = (int(x) for x in jax.device_get((n_occ_dev, over1, over2)))
+        thresh = max(1, points.shape[0] // 100)
+        if o1 > thresh:
+            cap = 2 * cap if o2 <= thresh else 3 * cap
+    else:
+        n_occ = int(jax.device_get(n_occ_dev))
     r_cap = 1 << max(0, (n_occ - 1).bit_length())
 
     pg = _pack(skey, spts, sidx, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine),
@@ -117,8 +134,9 @@ def _block_keys(points, origin_fine, cell_fine, nb_dims):
     return jnp.where(in_range, key, jnp.int32(int(np.prod(nb_dims))))
 
 
-@partial(jax.jit, static_argnames=("nb_dims",))
-def _keys_sort_count(points, origin_fine, cell_fine, nb_dims, feats=None):
+@partial(jax.jit, static_argnames=("nb_dims", "overflow_caps"))
+def _keys_sort_count(points, origin_fine, cell_fine, nb_dims, feats=None,
+                     overflow_caps=None):
     """Keys + sort + occupied count as ONE program: in degraded
     remote-tunnel periods even pipelined dispatches serialize, so the
     pre-sync half of the build is a single round trip.
@@ -146,6 +164,16 @@ def _keys_sort_count(points, origin_fine, cell_fine, nb_dims, feats=None):
     spts = jnp.stack(sorted_ops[1 : 1 + w], axis=-1)
     sidx = sorted_ops[1 + w]
     n_occ = jnp.sum(skey[1:] != skey[:-1]) + 1
+    if overflow_caps is not None:
+        # per-point within-block rank -> truncated-point counts per cap tier
+        arange = jnp.arange(n, dtype=jnp.int32)
+        new_block = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+        seg_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(new_block, arange, 0)
+        )
+        rank = arange - seg_start
+        overs = tuple(jnp.sum(rank >= c) for c in overflow_caps)
+        return skey, spts, sidx, (n_occ,) + overs
     return skey, spts, sidx, n_occ
 
 
@@ -169,6 +197,11 @@ def _pack(skeys, spts, sidx, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
     starts = jnp.nonzero(new_block, size=r_cap + 1, fill_value=n)[0]
     n_occ = jnp.sum(new_block).astype(jnp.int32)
     live_row = jnp.arange(r_cap + 1, dtype=jnp.int32) < n_occ
+    # per-row point count (next start - start): flags truncated blocks so
+    # exactness consumers (the k-NN kernels) cannot certify a neighborhood
+    # whose candidates were silently dropped
+    sizes = jnp.concatenate([starts[1:], jnp.full((1,), n, starts.dtype)]) - starts
+    row_over = live_row & (sizes > cap)
     key_at = skeys[jnp.clip(starts, 0, max(n - 1, 0))]
     row_key = jnp.where(live_row, key_at, jnp.int32(-1))
     block_row = jnp.full((nb_total,), -1, jnp.int32).at[
@@ -193,6 +226,7 @@ def _pack(skeys, spts, sidx, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
         row_key=row_key,
         pts_packed=pts_rows.reshape(r_cap + 1, cap * w),
         idx_packed=flat_idx.reshape(r_cap + 1, cap),
+        row_over=row_over,
     )
 
 

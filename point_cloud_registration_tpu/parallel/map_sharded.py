@@ -342,10 +342,14 @@ def align_map_sharded(
                     vm, q[idxs], voxel_size=meta.cell_size,
                     max_dist=cfg.max_dist, full_window=True,
                 )
+                # dead slots scatter OUT OF RANGE (mode=drop), never to a
+                # fill index 0 — a duplicate-index scatter-set applies an
+                # unspecified update and could clobber query 0's result
+                scat = jnp.where(live, idxs, n_s)
                 d0 = jnp.full((n_s,), jnp.inf, jnp.float32)
                 i0 = jnp.full((n_s,), -1, jnp.int32)
-                d = d0.at[idxs].set(jnp.where(live, nn.dist, jnp.inf))
-                i = i0.at[idxs].set(jnp.where(live, nn.idx, -1))
+                d = d0.at[scat].set(nn.dist, mode="drop")
+                i = i0.at[scat].set(nn.idx, mode="drop")
                 return d, i
 
             if qcap >= n_s:

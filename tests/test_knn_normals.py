@@ -59,9 +59,9 @@ def _run_kernel(pts, k, cell):
     n_cap = padded_point_capacity(spec, n)
     q_s = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(pts)
     w_s = jnp.zeros((n_cap,), jnp.float32).at[pos].set(1.0)
-    keys, tab = build_tile_tables(spec, pg, q_s, w_s)
+    keys, flags, tab = build_tile_tables(spec, pg, q_s, w_s)
     cov6, cnt, rk2, unres, exact = knn_moments_call(
-        spec, k, keys, tab, q_s, w_s, interpret=True
+        spec, k, keys, flags, tab, q_s, w_s, interpret=True
     )
     pos = np.asarray(pos)
     return (
@@ -154,8 +154,29 @@ def test_wide_tail_raises_exact_fraction(scene):
     en = np.asarray(info_n["exact"])
     ew = np.asarray(info_w["exact"])
     assert ew.mean() > en.mean()
-    assert ew.mean() > 0.9
+    # cap-truncated blocks (the dense wall at this scene's auto cell) are
+    # never certified regardless of tier — the bound is honest, not 100%
+    assert ew.mean() > 0.7
     # points exact in BOTH passes have identical neighbor sets -> same normal
     both = en & ew
     dots = np.abs(np.sum(np.asarray(nf_narrow) * np.asarray(nf_wide), axis=1))
     assert dots[both].min() > 1 - 1e-5
+
+
+def test_cap_truncation_never_certified_exact():
+    """A block holding far more than the pack cap: its queries' k-sets are
+    silently truncated, so the kernel must NOT flag them provably exact
+    (the 'exact' fraction is a public claim — it may under-, never
+    over-state)."""
+    rng = np.random.RandomState(4)
+    # 500 points crammed into one ~0.2m ball: every packed block (cap 32)
+    # in that region overflows
+    clump = (rng.randn(500, 3) * 0.05).astype(np.float32)
+    # dense sheet: k-NN radii well under the provable bound away from the clump
+    spread = (rng.rand(4000, 3) * np.float32([8, 8, 0.2])).astype(np.float32)
+    pts = np.vstack([clump, spread + np.float32([4, 4, 0])]).astype(np.float32)
+    cov6, cnt, rk2, unres, exact = _run_kernel(pts, 10, cell=0.3)
+    # the clump's blocks are truncated -> none of its queries certified
+    assert not exact[:500].any()
+    # but the spread region still certifies normally
+    assert exact[500:].mean() > 0.7

@@ -192,13 +192,14 @@ def test_on_mesh_auto_axis_align_matches_single(problem, kind):
 def test_on_mesh_skewed_scene_overflow_fallback(problem):
     """All scan points inside ONE slab's overlap along the shard axis: the
     owning slab's compaction capacity overflows and the scalar lax.cond
-    falls back to querying everything — results stay exact."""
+    falls back to querying everything — results stay exact. model=8 so the
+    compacted path is actually active (qcap < n per slab — at model<=4 the
+    static qcap >= n branch queries everything and compaction never runs)."""
     from point_cloud_registration_tpu.parallel import shard_voxel_map_on_mesh
 
     scene, _, _ = problem
     rng = np.random.RandomState(13)
     # cluster the scan at one end of the widest axis
-    lo = scene.min(0)
     sel = np.argsort(scene[:, 0])[:4000]
     scan = scene[sel][rng.choice(4000, 6000, replace=True)] + np.float32(
         [0.05, -0.03, 0.1]
@@ -206,10 +207,45 @@ def test_on_mesh_skewed_scene_overflow_fallback(problem):
     cfg = VPlaneICPConfig(voxel_size=1.0, max_iter=10, max_dist=2.0, tol=1e-3,
                           backend="xla")
     single = vplane_align(build_vplane_target(scene, cfg), *_args(scan), cfg)
-    mesh = make_map_mesh(model=4, data=2)
+    mesh = make_map_mesh(model=8, data=1)
     svm, meta = shard_voxel_map_on_mesh(scene, 1.0, mesh, min_points=cfg.min_points)
     src, w = pad_points(scan)
     out = align_map_sharded(
         "vplane_icp", svm, meta, src, w, jnp.eye(4, dtype=jnp.float32), cfg, mesh
     )
     np.testing.assert_allclose(np.asarray(out.T), np.asarray(single.T), atol=1e-5)
+
+
+def test_on_mesh_compacted_query_matches_single():
+    """model=8, evenly spread scan over a WIDE scene (thick slabs, so the
+    static qcap < n and every slab takes the query_compact branch) —
+    results identical to the single-device align (regression for the
+    duplicate-index scatter-set hazard in query_compact)."""
+    from point_cloud_registration_tpu.parallel import shard_voxel_map_on_mesh
+
+    rng = np.random.RandomState(23)
+    n = 40000
+    scene = np.stack(
+        [rng.rand(n) * 100, rng.rand(n) * 40, rng.randn(n) * 0.5], 1
+    ).astype(np.float32)
+    idx = rng.choice(n, 6000, replace=False)
+    scan = (scene[idx] + np.float32([0.06, -0.04, 0.09])
+            + rng.randn(6000, 3).astype(np.float32) * 0.004).astype(np.float32)
+    cfg = VPlaneICPConfig(voxel_size=1.0, max_iter=30, max_dist=2.0, tol=1e-3,
+                          min_points=3, backend="xla")
+    single = vplane_align(build_vplane_target(scene, cfg), *_args(scan), cfg)
+    mesh = make_map_mesh(model=8, data=1)
+    svm, meta = shard_voxel_map_on_mesh(scene, 1.0, mesh, min_points=cfg.min_points)
+    src, w = pad_points(scan)
+    n_s = src.shape[0]
+    # compaction must actually be active for this test to mean anything
+    radius = 2  # max_dist / voxel_size
+    ns_ax = meta.dims_slab[meta.axis]
+    slabs_per_window = 2 * radius // max(ns_ax, 1) + 2
+    qcap = int(min(n_s, max(512, -(-2 * slabs_per_window * n_s) // 8)))
+    assert qcap < n_s, "test scene too small to activate compaction"
+    out = align_map_sharded(
+        "vplane_icp", svm, meta, src, w, jnp.eye(4, dtype=jnp.float32), cfg, mesh
+    )
+    np.testing.assert_allclose(np.asarray(out.T), np.asarray(single.T), atol=1e-5)
+    assert int(out.diagnostics.iterations) == int(single.diagnostics.iterations)

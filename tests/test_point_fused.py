@@ -73,7 +73,7 @@ def _tiled(spec, target, scan, T):
     src_s = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(jnp.asarray(scan))
     w_s = jnp.zeros((n_cap,), jnp.float32).at[pos].set(1.0)
     q_s = transform_points(T, src_s)
-    keys, tab = build_tile_tables(spec, target.packed, q_s, w_s)
+    keys, _, tab = build_tile_tables(spec, target.packed, q_s, w_s)
     return q_s, src_s, w_s, keys, tab
 
 
