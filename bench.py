@@ -380,15 +380,39 @@ def main():
     # relay died and the official bench artifact was a stack trace), emit a
     # diagnosable JSON record instead of crashing, so the driver always
     # captures one JSON line.
+    # A half-dead tunnel HANGS jax.devices() (futex wait in PJRT client
+    # creation — uninterruptible from Python), so probe in a child process
+    # with a hard deadline first; only a live probe lets the parent attach.
+    probe_err = None
     try:
-        devs = jax.devices()
-    except Exception as e:
+        import subprocess
+        import sys as _sys
+
+        r = subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=int(os.environ.get("BENCH_BACKEND_PROBE_S", "180")),
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            tail = (r.stderr or b"").decode(errors="replace").strip().splitlines()
+            probe_err = f"probe rc={r.returncode}: {tail[-1] if tail else ''}"
+    except subprocess.TimeoutExpired:
+        probe_err = "backend probe timed out (tunnel hung, not erroring)"
+    except Exception as e:  # probe machinery itself must never kill the bench
+        probe_err = None
+        log("backend probe skipped:", repr(e))
+    if probe_err is None:
+        try:
+            devs = jax.devices()
+        except Exception as e:
+            probe_err = f"{type(e).__name__}: {e}"
+    if probe_err is not None:
         payload = {
             "metric": "vplane_icp_1.2Mmap_100kscan_settarget_align_wall_clock",
             "value": None,
             "unit": "s",
             "vs_baseline": None,
-            "error": f"backend init failed: {type(e).__name__}: {e}",
+            "error": f"backend init failed: {probe_err}",
         }
         print(json.dumps(payload))
         return

@@ -12,6 +12,7 @@ from point_cloud_registration_tpu.parallel.map_sharded import (
 from point_cloud_registration_tpu.parallel.mesh import make_mesh
 from point_cloud_registration_tpu.parallel.sharded import (
     STATS_FNS,
+    align_batched_fused_sharded,
     align_batched_sharded,
     align_sharded,
 )

@@ -78,6 +78,78 @@ def align_sharded(kind, target, source, src_weight, init_T, cfg, mesh: Mesh) -> 
     )(source, src_weight, init_T)
 
 
+@partial(jax.jit, static_argnames=("cfg", "spec", "mesh", "interpret"))
+def align_batched_fused_sharded(
+    target, normals, sources, src_weights, init_Ts, cfg, spec, mesh: Mesh,
+    interpret: bool = False,
+) -> AlignResult:
+    """Batched registration on the fused Pallas streams, problems sharded
+    over the mesh's ``batch`` axis.
+
+    The multi-chip twin of the single-chip fused batched drivers
+    (``models._fused.fused_voxel_align_batched`` /
+    ``models._point_fused.fused_point_align_batched``): the target map is
+    replicated, problems are split over ``batch``, and each chip runs the
+    whole fused stream — layout, tile tables, one kernel launch per GN
+    iteration — on its local problems. Problems are independent, so the
+    program needs ZERO collectives; scaling over the batch axis is
+    embarrassingly parallel (the production SLAM front-end layout,
+    BASELINE.json configs[4], vs the XLA-gather ``align_batched_sharded``
+    above which remains the route for maps without a fused spec).
+
+    Dispatch rides ``spec.kind``: ``"plane"``/``"ndt"`` take ``target`` as a
+    voxel map (``normals`` ignored), ``"point"``/``"plane_pt"`` take a
+    ``models._point_corr.PointCorrTarget`` plus the (N, 3) normal field for
+    ``plane_pt`` (used by the straggler fallback tier; ``None`` for
+    ``"point"``). ``target``/``normals`` are closed over, i.e. replicated to
+    every chip, exactly like ``align_sharded``'s target.
+
+    ``sources`` (B, n, 3) / ``src_weights`` (B, n) / ``init_Ts`` (B, 4, 4);
+    B must divide by the batch-axis size. Returns stacked results with
+    leading dim B, sharded over ``batch``.
+    """
+    from point_cloud_registration_tpu.models._fused import (
+        fused_voxel_align_batched,
+    )
+    from point_cloud_registration_tpu.models._point_fused import (
+        fused_point_align_batched,
+    )
+
+    nb = mesh.shape["batch"]
+    B = sources.shape[0]
+    if B % nb:
+        raise ValueError(f"batch {B} does not divide over {nb} batch shards")
+
+    if spec.kind in ("plane", "ndt"):
+
+        def shard_fn(s, w, T0):
+            Ts, diag = fused_voxel_align_batched(
+                target, s, w, T0, cfg, spec, interpret=interpret
+            )
+            return AlignResult(T=Ts, diagnostics=diag)
+
+    else:  # "point" | "plane_pt"
+
+        def shard_fn(s, w, T0):
+            Ts, diag = fused_point_align_batched(
+                target, normals, s, w, T0, cfg, spec, interpret=interpret
+            )
+            return AlignResult(T=Ts, diagnostics=diag)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # metadata, so vma tracking cannot cross the kernel boundary. Unlike the
+    # psum paths above (which keep the check), this program contains ZERO
+    # collectives — every problem is chip-local — so the check has nothing
+    # to validate here.
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("batch"), P("batch"), P("batch")),
+        out_specs=P("batch"),
+        check_vma=False,
+    )(sources, src_weights, init_Ts)
+
+
 @partial(jax.jit, static_argnames=("kind", "cfg", "mesh"))
 def align_batched_sharded(
     kind, target, sources, src_weights, init_Ts, cfg, mesh: Mesh
