@@ -1,0 +1,16 @@
+#!/bin/bash
+# Probe the axon TPU tunnel until it answers. Each probe is a child python
+# with a hard deadline (a dead relay HANGS jax.devices(), it does not
+# error). Exits 0 the moment a probe succeeds; logs each attempt.
+LOG=/tmp/tunnel_watch.log
+: > "$LOG"
+i=0
+while true; do
+  i=$((i+1))
+  if timeout 120 python -c "import jax; d=jax.devices(); print(d)" >> "$LOG" 2>&1; then
+    echo "$(date +%T) probe $i: ALIVE" >> "$LOG"
+    exit 0
+  fi
+  echo "$(date +%T) probe $i: dead (rc=$?)" >> "$LOG"
+  sleep 240
+done
