@@ -598,6 +598,12 @@ def main():
         "value": round(t, 4),
         "unit": "s",
         "vs_baseline": round(ref / t, 3),
+        # every per-method wall-clock in the one driver-captured line:
+        # {name: [seconds, x_vs_published_reference]} (reg/s rows: [rate, null])
+        "all": {
+            k: [round(tv, 4), (round(rv / tv, 3) if np.isfinite(rv) else None)]
+            for k, (tv, rv) in results.items()
+        },
     }
     if roofline:
         payload["roofline"] = roofline
