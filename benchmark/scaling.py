@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--scan-points", type=int, default=16384)
     ap.add_argument("--map-points", type=int, default=600_000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--fused", action="store_true",
+        help="run the zero-collective fused Pallas stream per shard "
+        "(parallel.align_batched_fused_sharded) instead of the XLA gather "
+        "path; TPU only (the kernel has no CPU compile target)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -44,7 +50,12 @@ def main():
     import bench
     from point_cloud_registration_tpu.core.config import VPlaneICPConfig
     from point_cloud_registration_tpu.models import build_vplane_target
-    from point_cloud_registration_tpu.parallel import align_batched_sharded, make_mesh
+    from point_cloud_registration_tpu.ops.pallas.fused_align import voxel_fused_spec
+    from point_cloud_registration_tpu.parallel import (
+        align_batched_fused_sharded,
+        align_batched_sharded,
+        make_mesh,
+    )
 
     devices = jax.devices()
     print(f"devices: {len(devices)} x {devices[0].platform}")
@@ -61,20 +72,36 @@ def main():
     weights = jnp.ones((B, n), jnp.float32)
     init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
 
+    spec = voxel_fused_spec(target, "plane", max_dist=cfg.max_dist) if args.fused else None
+    if args.fused and spec is None:
+        print("no fused spec for this map (sparse path) — falling back to XLA")
+
     for n_dev in sorted({1, len(devices)}):
         data = max(1, n_dev // min(n_dev, B))
         batch_ax = n_dev // data
         if B % batch_ax or n % data:
             continue
+        if spec is not None and data != 1:
+            # the fused stream is whole-problem-per-chip: fold the data axis
+            # into batch (problems are the only parallel dimension)
+            batch_ax, data = n_dev, 1
+            if B % batch_ax:
+                continue
         mesh = make_mesh(batch=batch_ax, data=data, devices=devices[:n_dev])
-        out = align_batched_sharded("vplane_icp", target, scans, weights, init_Ts, cfg, mesh)
-        jax.block_until_ready(out.T)  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out = align_batched_sharded(
+
+        def run():
+            if spec is not None:
+                return align_batched_fused_sharded(
+                    target, None, scans, weights, init_Ts, cfg, spec, mesh
+                )
+            return align_batched_sharded(
                 "vplane_icp", target, scans, weights, init_Ts, cfg, mesh
             )
-            jax.block_until_ready(out.T)
+
+        jax.block_until_ready(run().T)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            jax.block_until_ready(run().T)
         dt = (time.perf_counter() - t0) / args.reps
         print(
             f"mesh batch={batch_ax} data={data} ({n_dev} devices): "
