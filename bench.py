@@ -26,6 +26,7 @@ cached cost; the reference pays no compile because it is interpreted NumPy).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -383,13 +384,12 @@ def main():
     # A half-dead tunnel HANGS jax.devices() (futex wait in PJRT client
     # creation — uninterruptible from Python), so probe in a child process
     # with a hard deadline first; only a live probe lets the parent attach.
+    import subprocess
+
     probe_err = None
     try:
-        import subprocess
-        import sys as _sys
-
         r = subprocess.run(
-            [_sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", "import jax; jax.devices()"],
             timeout=int(os.environ.get("BENCH_BACKEND_PROBE_S", "180")),
             capture_output=True,
         )

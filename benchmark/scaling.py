@@ -81,12 +81,9 @@ def main():
         batch_ax = n_dev // data
         if B % batch_ax or n % data:
             continue
-        if spec is not None and data != 1:
-            # the fused stream is whole-problem-per-chip: fold the data axis
-            # into batch (problems are the only parallel dimension)
-            batch_ax, data = n_dev, 1
-            if B % batch_ax:
-                continue
+        # (the fused path folds the data axis into the problem sharding
+        # itself when B divides the whole mesh — see
+        # parallel.align_batched_fused_sharded)
         mesh = make_mesh(batch=batch_ax, data=data, devices=devices[:n_dev])
 
         def run():

@@ -26,6 +26,7 @@
 
 #ifdef _OPENMP
 #include <omp.h>
+#include <parallel/algorithm>
 #endif
 
 using std::size_t;
@@ -66,9 +67,9 @@ static Mat3 expSO3(const double w[3]) {  // math_tools.py:80-98
   Mat3 R{};
   double K[9] = {0, -w[2], w[1], w[2], 0, -w[0], -w[1], w[0], 0};
   double a, b;
-  if (th2 <= 1e-5) {  // small-angle branch, same threshold
+  if (th2 <= 1e-5) {  // small-angle branch: I + W (math_tools.py:90-91)
     a = 1.0;
-    b = 0.5;
+    b = 0.0;
   } else {
     double th = std::sqrt(th2);
     a = std::sin(th) / th;
@@ -108,8 +109,6 @@ static void boxplus(T44& T, const double dx[6]) {  // math_tools.py:101-108
 
 static bool solve6(double H[36], double g[6], double dx[6]) {
   // Gaussian elimination with partial pivoting on [H | g]
-  int piv[6];
-  for (int i = 0; i < 6; i++) piv[i] = i;
   for (int c = 0; c < 6; c++) {
     int best = c;
     for (int r = c + 1; r < 6; r++)
@@ -131,7 +130,6 @@ static bool solve6(double H[36], double g[6], double dx[6]) {
     for (int k = r + 1; k < 6; k++) s -= H[r * 6 + k] * dx[k];
     dx[r] = s / H[r * 6 + r];
   }
-  (void)piv;
   return true;
 }
 
@@ -206,7 +204,11 @@ struct GridNN {
       int64_t cz = (int64_t)std::floor(p[i].z / cell) - oz;
       kv[i] = {cx + nx * (cy + ny * cz), (int32_t)i};
     }
+#ifdef _OPENMP
+    __gnu_parallel::sort(kv.begin(), kv.end());
+#else
     std::sort(kv.begin(), kv.end());
+#endif
     order.resize(n);
     starts.assign(nx * ny * nz + 1, 0);
     for (size_t i = 0; i < n; i++) {
@@ -526,11 +528,14 @@ int main(int argc, char** argv) {
         c[3] += cx * cy; c[4] += cx * cz; c[5] += cy * cz;
       }
       for (int d = 0; d < 6; d++) c[d] /= (e - s - 1);
-      // analytic symmetric 3x3 inverse (voxel.py:69-102)
+      // analytic symmetric 3x3 inverse (voxel.py:69-102); the reference
+      // KEEPS singular voxels, forcing det to 1e6 so their icov ~ 0
+      // (voxel.py:87) — they stay nearest-centroid candidates with ~zero
+      // Mahalanobis weight
       double det = c[0] * (c[1] * c[2] - c[5] * c[5]) -
                    c[3] * (c[3] * c[2] - c[5] * c[4]) +
                    c[4] * (c[3] * c[5] - c[1] * c[4]);
-      if (std::fabs(det) < 1e-12) continue;
+      if (det == 0.0) det = 1e6;
       double inv = 1.0 / det;
       icov[k * 6 + 0] = (float)((c[1] * c[2] - c[5] * c[5]) * inv);
       icov[k * 6 + 1] = (float)((c[0] * c[2] - c[4] * c[4]) * inv);

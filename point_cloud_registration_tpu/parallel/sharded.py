@@ -104,9 +104,14 @@ def align_batched_fused_sharded(
     ``"point"``). ``target``/``normals`` are closed over, i.e. replicated to
     every chip, exactly like ``align_sharded``'s target.
 
-    ``sources`` (B, n, 3) / ``src_weights`` (B, n) / ``init_Ts`` (B, 4, 4);
-    B must divide by the batch-axis size. Returns stacked results with
-    leading dim B, sharded over ``batch``.
+    ``sources`` (B, n, 3) / ``src_weights`` (B, n) / ``init_Ts`` (B, 4, 4).
+    Problems are the ONLY parallel dimension here, so when B divides the
+    whole mesh (batch x data) the problem axis is sharded over every device;
+    otherwise it shards over ``batch`` alone and the ``data`` axis holds
+    duplicate replicas (legal — the same mesh may serve the point-sharding
+    XLA paths — but those chips do redundant work for THIS call). B must
+    divide at least the batch-axis size. Returns stacked results with
+    leading dim B.
     """
     from point_cloud_registration_tpu.models._fused import (
         fused_voxel_align_batched,
@@ -116,9 +121,18 @@ def align_batched_fused_sharded(
     )
 
     nb = mesh.shape["batch"]
+    nd = mesh.shape.get("data", 1) if "data" in mesh.axis_names else 1
+    n_all = nb * nd
     B = sources.shape[0]
-    if B % nb:
-        raise ValueError(f"batch {B} does not divide over {nb} batch shards")
+    if nd > 1 and B % n_all == 0:
+        axes = ("batch", "data")
+    elif B % nb == 0:
+        axes = ("batch",)
+    else:
+        raise ValueError(
+            f"batch {B} does not divide over {nb} batch shards "
+            f"(nor over all {n_all} devices)"
+        )
 
     if spec.kind in ("plane", "ndt"):
 
@@ -144,8 +158,8 @@ def align_batched_fused_sharded(
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("batch"), P("batch"), P("batch")),
-        out_specs=P("batch"),
+        in_specs=(P(axes), P(axes), P(axes)),
+        out_specs=P(axes),
         check_vma=False,
     )(sources, src_weights, init_Ts)
 

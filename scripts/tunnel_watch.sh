@@ -7,10 +7,13 @@ LOG=/tmp/tunnel_watch.log
 i=0
 while true; do
   i=$((i+1))
-  if timeout 120 python -c "import jax; d=jax.devices(); print(d)" >> "$LOG" 2>&1; then
+  timeout 120 python -c "import jax; d=jax.devices(); print(d)" >> "$LOG" 2>&1
+  rc=$?
+  if [ "$rc" -eq 0 ]; then
     echo "$(date +%T) probe $i: ALIVE" >> "$LOG"
     exit 0
   fi
-  echo "$(date +%T) probe $i: dead (rc=$?)" >> "$LOG"
+  # rc=124: hung (timeout); other: errored
+  echo "$(date +%T) probe $i: dead (rc=$rc)" >> "$LOG"
   sleep 240
 done

@@ -243,6 +243,47 @@ def test_batched_fused_sharded_matches_single_chip(problem, fkind):
     )
 
 
+def test_batched_fused_sharded_full_mesh_fold(problem):
+    """When B divides the whole mesh, the problem axis shards over
+    batch x data — every device runs distinct problems (no idle data-axis
+    replicas) and the result equals the single-chip batched driver."""
+    from point_cloud_registration_tpu.models._fused import (
+        fused_voxel_align_batched,
+    )
+    from point_cloud_registration_tpu.ops.pallas.fused_align import voxel_fused_spec
+    from point_cloud_registration_tpu.ops.voxelize import build_voxel_map
+    from point_cloud_registration_tpu.parallel import align_batched_fused_sharded
+
+    scene, scan, _ = problem
+    rng = np.random.RandomState(3)
+    B, n = 8, 1000
+    scans = np.stack(
+        [
+            scene[rng.choice(len(scene), n, replace=False)]
+            + np.float32([0.02 * b, 0.01, -0.03])
+            for b in range(B)
+        ]
+    )
+    weights = jnp.ones((B, n), jnp.float32)
+    init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+    cfg = VPlaneICPConfig(voxel_size=1.0, max_iter=5, max_dist=2.0, tol=1e-3)
+    vm = build_voxel_map(scene, 1.0, min_points=5, rich="normals")
+    spec = voxel_fused_spec(vm, "plane", max_dist=cfg.max_dist, tq=256)
+    mesh = make_mesh(batch=2, data=4)
+    out = align_batched_fused_sharded(
+        vm, None, jnp.asarray(scans), weights, init_Ts, cfg, spec, mesh,
+        interpret=True,
+    )
+    Ts1, _ = fused_voxel_align_batched(
+        vm, jnp.asarray(scans), weights, init_Ts, cfg, spec, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(out.T)),
+        np.asarray(jax.device_get(Ts1)),
+        atol=1e-5,
+    )
+
+
 def test_batched_fused_sharded_batch_mismatch(problem):
     from point_cloud_registration_tpu.ops.pallas.fused_align import voxel_fused_spec
     from point_cloud_registration_tpu.ops.voxelize import build_voxel_map
