@@ -22,3 +22,20 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    A full-suite run accumulates a few hundred XLA:CPU programs in one
+    process; with all of them live, the LLVM JIT segfaults compiling the
+    suite's biggest program (the shard_map-of-interpret-Pallas parity test
+    in test_sharded.py) — deterministically in-suite, never standalone.
+    Dropping executables between modules keeps per-module state bounded;
+    within-module caching (the expensive repeated programs) is unaffected.
+    """
+    yield
+    jax.clear_caches()
