@@ -432,59 +432,110 @@ def main():
     max_iter, tol, max_dist, voxel_size = 30, 1e-3, 2.0, 1.0
     results = {}
 
-    def run_vplane():
-        s = pcr.VPlaneICP(voxel_size=voxel_size, max_iter=max_iter, max_dist=max_dist, tol=tol)
-        s.set_target(map_pts)
-        T = s.align(scan)
-        return np.asarray(T)
+    import dataclasses as _dc
 
-    def run_ndt():
-        s = pcr.NDT(voxel_size=voxel_size, max_iter=max_iter, max_dist=max_dist, tol=tol)
-        s.set_target(map_pts)
-        return s.align(scan)
+    def _with_backend(s, backend):
+        # the parity wrappers don't expose the backend knob (the reference
+        # constructors don't have one); override the frozen config directly
+        if backend is not None:
+            s.cfg = _dc.replace(s.cfg, backend=backend)
+        return s
 
-    def run_icp():
-        s = pcr.ICP(max_iter=max_iter, max_dist=max_dist, tol=tol)
-        s.set_target(map_pts)
-        return s.align(scan)
+    def timed_guarded(name, make_runner, reps=3):
+        """Time make_runner(None); if the default (fused-kernel) path dies —
+        e.g. a Mosaic compile failure on a kernel this round never got to
+        compile on real hardware — retry once on the XLA gather path so the
+        bench always produces a number, flagged as degraded."""
+        try:
+            return timed(make_runner(None), reps=reps)
+        except Exception as e:
+            log(f"{name}: default path failed ({type(e).__name__}: {e}); "
+                "retrying with backend='xla'")
+            t = timed(make_runner("xla"), reps=reps)
+            degraded.append(name)
+            return t
 
-    def run_plane_icp(normals):
+    degraded = []
+
+    def run_vplane(backend=None):
         def f():
-            s = pcr.PlaneICP(max_iter=max_iter, max_dist=max_dist, tol=tol)
+            s = _with_backend(
+                pcr.VPlaneICP(voxel_size=voxel_size, max_iter=max_iter,
+                              max_dist=max_dist, tol=tol), backend)
+            s.set_target(map_pts)
+            T = s.align(scan)
+            return np.asarray(T)
+
+        return f
+
+    def run_ndt(backend=None):
+        def f():
+            s = _with_backend(
+                pcr.NDT(voxel_size=voxel_size, max_iter=max_iter,
+                        max_dist=max_dist, tol=tol), backend)
+            s.set_target(map_pts)
+            return s.align(scan)
+
+        return f
+
+    def run_icp(backend=None):
+        def f():
+            s = _with_backend(
+                pcr.ICP(max_iter=max_iter, max_dist=max_dist, tol=tol), backend)
+            s.set_target(map_pts)
+            return s.align(scan)
+
+        return f
+
+    def run_plane_icp(normals, backend=None):
+        def f():
+            s = _with_backend(
+                pcr.PlaneICP(max_iter=max_iter, max_dist=max_dist, tol=tol),
+                backend)
             s.set_target(map_pts, kdree="precomputed", norm=normals)
             return s.align(scan)
 
         return f
 
     # flagship first
-    t_vplane = timed(run_vplane)
+    t_vplane = timed_guarded("vplane_icp", run_vplane)
     results["vplane_icp"] = (t_vplane, 0.420)
     log(f"VPlaneICP set_target+align: {t_vplane:.3f}s (ref 0.420s)")
 
-    t_ndt = timed(run_ndt)
+    t_ndt = timed_guarded("ndt", run_ndt)
     results["ndt"] = (t_ndt, 0.511)
     log(f"NDT set_target+align: {t_ndt:.3f}s (ref 0.511s)")
 
-    t_icp = timed(run_icp, reps=5)
+    t_icp = timed_guarded("icp", run_icp, reps=5)
     results["icp"] = (t_icp, 0.502)
     log(f"ICP set_target+align: {t_icp:.3f}s (ref 0.502s)")
 
     from point_cloud_registration_tpu.ops.normals import estimate_normals as estimate_normals_dev
 
-    jax.block_until_ready(estimate_normals_dev(map_pts, k=15))  # warmup/compile
+    norm_backend = "auto"
+    try:
+        jax.block_until_ready(estimate_normals_dev(map_pts, k=15))  # warm/compile
+    except Exception as e:
+        log(f"normals: kernel path failed ({type(e).__name__}: {e}); "
+            "falling back to backend='xla'")
+        norm_backend = "xla"
+        degraded.append("normals")
+        jax.block_until_ready(estimate_normals_dev(map_pts, k=15, backend="xla"))
     # min over reps like the solvers (the remote-attach tunnel's sync
     # latency varies by tens of ms between calls)
     t_norm = None
     for _ in range(3):
         t0 = time.perf_counter()
-        normals = estimate_normals_dev(map_pts, k=15)  # device-resident output
-        jax.block_until_ready(normals)
+        normals = estimate_normals_dev(map_pts, k=15, backend=norm_backend)
+        jax.block_until_ready(normals)  # device-resident output
         dt = time.perf_counter() - t0
         t_norm = dt if t_norm is None else min(t_norm, dt)
     results["normals"] = (t_norm, 2.201)
     log(f"estimate_normals: {t_norm:.3f}s (ref 2.201s)")
 
-    t_picp = timed(run_plane_icp(normals), reps=5)
+    t_picp = timed_guarded(
+        "plane_icp", lambda backend=None: run_plane_icp(normals, backend), reps=5
+    )
     results["plane_icp"] = (t_picp, 0.334)
     log(f"PlaneICP set_target+align (excl. normals): {t_picp:.3f}s (ref 0.334s)")
 
@@ -607,6 +658,10 @@ def main():
     }
     if roofline:
         payload["roofline"] = roofline
+    if degraded:
+        # these rows ran the XLA gather path because the fused-kernel path
+        # failed (e.g. Mosaic compile error) — see stderr for the reasons
+        payload["degraded"] = degraded
     print(json.dumps(payload))
 
 
