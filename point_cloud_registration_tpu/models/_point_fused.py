@@ -32,6 +32,43 @@ from point_cloud_registration_tpu.ops.reduce import plane_stats, point_stats
 from point_cloud_registration_tpu.ops.voxelize import query_nearest_voxel
 
 
+def _fallback_caps(spec: PointFusedSpec, n: int) -> tuple[int, float]:
+    """(compacted-fallback capacity, proxy voxel size) — shared by the
+    single and batched drivers so their divergence bounds stay identical."""
+    fb_cap = int(max(min(n // 8, 16384), min(n, 256)))
+    proxy_vs = float(2 * spec.cell)  # a packed block IS a proxy voxel
+    return fb_cap, proxy_vs
+
+
+def _fallback_stats(target, normals, spec: PointFusedSpec, proxy_vs, qs, ps,
+                    ws, R, *, fixed_tiers: bool = False) -> GNStats:
+    """match_points semantics on a compacted subset: packed tier-1 re-query
+    first, coarse voxel-Gaussian proxy beyond the exactness radius. The ONE
+    definition both drivers share — a gating-semantics fix lands in the
+    single and batched paths together."""
+    pg = target.packed
+    proxy = target.proxy
+    t1 = nearest_point_packed(pg, qs)
+    pnn = query_nearest_voxel(proxy, qs, voxel_size=proxy_vs,
+                              max_dist=spec.max_dist, fixed_tiers=fixed_tiers)
+    use_raw = t1.resolved
+    dist = jnp.where(use_raw, t1.dist, pnn.dist)
+    safe_raw = jnp.clip(t1.idx, 0, target.points.shape[0] - 1)
+    safe_p = jnp.clip(pnn.idx, 0, proxy.means.shape[0] - 1)
+    tgt = jnp.where(
+        use_raw[:, None], target.points[safe_raw], proxy.means[safe_p]
+    )
+    found = jnp.where(use_raw, t1.idx >= 0, pnn.idx >= 0)
+    ws = ws * (dist < spec.max_dist) * found
+    if spec.kind == "plane_pt":
+        nrm = jnp.where(
+            use_raw[:, None], normals[safe_raw], proxy.normals[safe_p]
+        )
+        return plane_stats(ps, qs, tgt, nrm, ws, R,
+                           huber_delta=spec.huber_delta)
+    return point_stats(ps, qs, tgt, ws, R, huber_delta=spec.huber_delta)
+
+
 @partial(jax.jit, static_argnames=("cfg", "spec", "interpret"))
 def fused_point_align(target, normals, source, src_weight, init_T, cfg,
                       spec: PointFusedSpec, interpret: bool = False):
@@ -42,7 +79,6 @@ def fused_point_align(target, normals, source, src_weight, init_T, cfg,
     kind "plane_pt" (None for "point").
     """
     pg = target.packed
-    proxy = target.proxy
     init_T = jnp.asarray(init_T, jnp.float32)
     source = jnp.asarray(source, jnp.float32)
     n = source.shape[0]
@@ -53,33 +89,11 @@ def fused_point_align(target, normals, source, src_weight, init_T, cfg,
     w_s = jnp.zeros((n_cap,), jnp.float32).at[pos].set(src_weight)
     q0_s = transform_points(init_T, src_s)
     keys, _, tab = build_tile_tables(spec, pg, q0_s, w_s)
-    fb_cap = int(max(min(n // 8, 16384), min(n, 256)))
-    proxy_vs = float(2 * spec.cell)  # a packed block IS a proxy voxel
+    fb_cap, proxy_vs = _fallback_caps(spec, n)
 
     def _resolve(qs, ps, ws, s):
-        """match_points semantics on a compacted subset: packed tier-1,
-        voxel-Gaussian proxy beyond the exactness radius."""
-        t1 = nearest_point_packed(pg, qs)
-        pnn = query_nearest_voxel(proxy, qs, voxel_size=proxy_vs,
-                                  max_dist=spec.max_dist)
-        use_raw = t1.resolved
-        dist = jnp.where(use_raw, t1.dist, pnn.dist)
-        safe_raw = jnp.clip(t1.idx, 0, target.points.shape[0] - 1)
-        safe_p = jnp.clip(pnn.idx, 0, proxy.means.shape[0] - 1)
-        tgt = jnp.where(
-            use_raw[:, None], target.points[safe_raw], proxy.means[safe_p]
-        )
-        found = jnp.where(use_raw, t1.idx >= 0, pnn.idx >= 0)
-        ws = ws * (dist < spec.max_dist) * found
         R, _ = makeRt(s["T"])
-        if spec.kind == "plane_pt":
-            nrm = jnp.where(
-                use_raw[:, None], normals[safe_raw], proxy.normals[safe_p]
-            )
-            sub = plane_stats(ps, qs, tgt, nrm, ws, R,
-                              huber_delta=spec.huber_delta)
-        else:
-            sub = point_stats(ps, qs, tgt, ws, R, huber_delta=spec.huber_delta)
+        sub = _fallback_stats(target, normals, spec, proxy_vs, qs, ps, ws, R)
         base = s["stats"]
         return GNStats(
             H=base.H + sub.H,
@@ -130,15 +144,13 @@ def fused_point_align_batched(target, normals, sources, src_weights, init_Ts,
     Returns ``(Ts (B, 4, 4), GNDiagnostics with leading dim B)``.
     """
     pg = target.packed
-    proxy = target.proxy
     B, n, _ = sources.shape
     sources = jnp.asarray(sources, jnp.float32)
     init_Ts = jnp.asarray(init_Ts, jnp.float32)
     tq = spec.tq
     n_cap = padded_point_capacity(spec, n)
     tiles_pp = n_cap // tq
-    fb_cap = int(max(min(n // 8, 16384), min(n, 256)))
-    proxy_vs = float(2 * spec.cell)
+    fb_cap, proxy_vs = _fallback_caps(spec, n)
 
     q0 = jax.vmap(transform_points)(init_Ts, sources)
     pos = jax.vmap(lambda q: morton_layout(spec, q))(q0)  # (B, n)
@@ -168,27 +180,10 @@ def fused_point_align_batched(target, normals, sources, src_weights, init_Ts,
         unres_b = unres.reshape(B, n_cap)
 
         def _sub_stats(qs, ps, ws, R):
-            t1 = nearest_point_packed(pg, qs)
-            pnn = query_nearest_voxel(
-                proxy, qs, voxel_size=proxy_vs, max_dist=spec.max_dist,
-                fixed_tiers=True,  # vmapped: switch would run every branch
-            )
-            use_raw = t1.resolved
-            dist = jnp.where(use_raw, t1.dist, pnn.dist)
-            safe_raw = jnp.clip(t1.idx, 0, target.points.shape[0] - 1)
-            safe_p = jnp.clip(pnn.idx, 0, proxy.means.shape[0] - 1)
-            tgt = jnp.where(
-                use_raw[:, None], target.points[safe_raw], proxy.means[safe_p]
-            )
-            found = jnp.where(use_raw, t1.idx >= 0, pnn.idx >= 0)
-            ws = ws * (dist < spec.max_dist) * found
-            if spec.kind == "plane_pt":
-                nrm = jnp.where(
-                    use_raw[:, None], normals[safe_raw], proxy.normals[safe_p]
-                )
-                return plane_stats(ps, qs, tgt, nrm, ws, R,
-                                   huber_delta=spec.huber_delta)
-            return point_stats(ps, qs, tgt, ws, R, huber_delta=spec.huber_delta)
+            # fixed_tiers: vmapped — a data-dependent switch would run
+            # every branch per problem
+            return _fallback_stats(target, normals, spec, proxy_vs, qs, ps,
+                                   ws, R, fixed_tiers=True)
 
         def resolve_compact(qb, unb, wb, pb, R):
             n_un = jnp.sum(unb)

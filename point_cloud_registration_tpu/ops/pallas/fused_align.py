@@ -57,6 +57,10 @@ from point_cloud_registration_tpu.ops.knn import (
     padded_row_width,
     padded_z_blocks,
 )
+from point_cloud_registration_tpu.ops.pallas._gather import (
+    onehot_gather as _onehot_gather,
+    split_bf16 as _split_bf16,
+)
 
 _MISS_D2 = np.float32(1e30)  # finite: feeds min/compare, never matmuls
 
@@ -369,27 +373,10 @@ def _make_kernel(spec: FusedSpec):
     n_split = 3 if spec.gather_precision == "highest" else 1
 
     def split_bf16(a):
-        """Lossless 3-way bf16 decomposition (hi + mid + lo == a exactly):
-        a one-hot matmul against each part is an exact bf16 row copy, so
-        their f32 sum reconstructs the f32 row bit-for-bit in 3 MXU passes
-        (vs 6 for Precision.HIGHEST)."""
-        hi = a.astype(jnp.bfloat16)
-        r1 = a - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (hi, mid, lo)[:n_split]
+        # lossless bf16x3 split + one-hot MXU gather: ops/pallas/_gather.py
+        return _split_bf16(a, n_split)
 
-    def onehot_gather(oh_mask, parts):
-        """(TQ, NR) boolean one-hot x split table parts -> exact f32 rows."""
-        oh = oh_mask.astype(jnp.bfloat16)
-        out = None
-        for part in parts:
-            d = jax.lax.dot_general(
-                oh, part, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out = d if out is None else out + d
-        return out
+    onehot_gather = _onehot_gather
 
     def kernel(orig_ref, rflat_ref, q_ref, p_ref, w_ref, tab,
                stats_ref, unres_ref, reg, a_buf, sem):
@@ -517,7 +504,10 @@ def _make_kernel(spec: FusedSpec):
         wq = w_in * found.astype(jnp.float32) * (dist < np.float32(spec.max_dist))
         live = w_in > 0  # band-padding slots carry w = 0: never unresolved
         if spec.kind in ("point", "plane_pt"):
-            wq = wq * resolved.astype(jnp.float32)
+            # miss also zeroes the weight: the query re-resolves in the
+            # caller's fallback, so a kernel contribution would double-count
+            wq = (wq * resolved.astype(jnp.float32)
+                  * jnp.logical_not(miss).astype(jnp.float32))
             unresolved = (miss | jnp.logical_not(resolved)) & live
         else:
             wq = wq * jnp.logical_not(miss).astype(jnp.float32)

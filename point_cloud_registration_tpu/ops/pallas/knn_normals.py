@@ -38,13 +38,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from point_cloud_registration_tpu.ops.knn import FOUND_MAX
+from point_cloud_registration_tpu.ops.pallas._gather import (
+    onehot_gather,
+    split_bf16 as _split_bf16,
+)
 from point_cloud_registration_tpu.ops.pallas.fused_align import _MISS_D2
 from point_cloud_registration_tpu.ops.pallas.point_align import (
     PointFusedSpec,
-    _FINE,
+    _fused_block,
 )
 
-_N_OUT = 16  # output stat rows (9 used, padded to the sublane tiling)
+_N_OUT = 16  # output stat rows (10 used, padded to the sublane tiling)
 
 
 def knn_moments_spec(pg, radius: int = 2, tq: int = 256,
@@ -52,6 +56,8 @@ def knn_moments_spec(pg, radius: int = 2, tq: int = 256,
     """Spec for the k-NN moments kernel over a packed grid (host-side)."""
     if pg is None:
         return None
+    if cb % 128:  # config error: propagate, don't silently disable
+        raise ValueError("cb must be a multiple of the 128-lane tiling")
     width = int(pg.pts_packed.shape[1] // pg.idx_packed.shape[1])
     if width != 3:
         return None
@@ -85,22 +91,8 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
     exact_d2 = np.float32((spec.radius * spec.cell) ** 2)
 
     def split_bf16(a):
-        hi = a.astype(jnp.bfloat16)
-        r1 = a - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (hi, mid, lo)[:n_split]
-
-    def onehot_gather(oh_mask, parts):
-        oh = oh_mask.astype(jnp.bfloat16)
-        out = None
-        for part in parts:
-            d = jax.lax.dot_general(
-                oh, part, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out = d if out is None else out + d
-        return out
+        # lossless bf16x3 split + one-hot MXU gather: ops/pallas/_gather.py
+        return _split_bf16(a, n_split)
 
     def kernel(q_ref, w_ref, keys_ref, flags_ref, tab_ref, out_ref):
         q = q_ref[...]  # (TQ, 3)
@@ -110,15 +102,9 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
         tab = tab_ref[0]
         parts = split_bf16(tab)
 
-        inv_cell = np.float32(1.0 / spec.cell)
-        fx, fy, fz = _FINE
-        r_ = spec.radius
-        cx_ = jnp.floor(q[:, 0] * inv_cell).astype(jnp.int32) - spec.origin_fine[0]
-        cy_ = jnp.floor(q[:, 1] * inv_cell).astype(jnp.int32) - spec.origin_fine[1]
-        cz_ = jnp.floor(q[:, 2] * inv_cell).astype(jnp.int32) - spec.origin_fine[2]
-        gx = jnp.floor_divide(cx_ - r_, fx)
-        gy = jnp.floor_divide(cy_ - r_, fy)
-        gz = jnp.floor_divide(cz_ - r_, fz)
+        # window origin from the SAME helper the table builder uses — the
+        # key-equality one-hot requires bit-identical binning on both sides
+        gx, gy, gz = _fused_block(spec, q)
 
         # candidate stash over all probes: deltas + distances live in VMEM
         dxs, dys, dzs, d2s = [], [], [], []
@@ -196,7 +182,10 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
 
         live = w_in > 0
         unresolved = (jnp.logical_not(done) | (miss > 0)) & live
-        exact = done & (rk < exact_d2) & (cap_hit == 0)
+        # a missed probe means part of the provable window was never
+        # consulted — rk is then only an upper bound, so the certificate
+        # must not fire (exact is a per-point lower-bound guarantee)
+        exact = done & (rk < exact_d2) & (cap_hit == 0) & (miss == 0)
 
         zeros = jnp.zeros_like(cnt)
         rows_out = (

@@ -49,6 +49,10 @@ from point_cloud_registration_tpu.ops.knn import (
     MISS_COORD,
     padded_row_width,
 )
+from point_cloud_registration_tpu.ops.pallas._gather import (
+    onehot_gather,
+    split_bf16 as _split_bf16,
+)
 from point_cloud_registration_tpu.ops.pallas.fused_align import (
     _MISS_D2,
     _linearize_and_reduce,
@@ -156,6 +160,13 @@ def point_fused_spec(pg, kind: str, max_dist: float,
     """
     if pg is None:
         return None
+    # config-shaped errors propagate (a miswritten caller must hear about
+    # it, not silently land on the XLA path); only the data-dependent
+    # key-space overflow maps to None below
+    if kind not in ("point", "plane_pt"):
+        raise ValueError(f"unknown point-fused kind {kind!r}")
+    if cb % 128:
+        raise ValueError("cb must be a multiple of the 128-lane tiling")
     width = int(pg.pts_packed.shape[1] // pg.idx_packed.shape[1])
     feat = 3 if kind == "plane_pt" else 0
     if width != 3 + feat:
@@ -332,22 +343,8 @@ def _make_point_kernel(spec: PointFusedSpec):
     n_split = 3 if spec.gather_precision == "highest" else 1
 
     def split_bf16(a):
-        hi = a.astype(jnp.bfloat16)
-        r1 = a - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (hi, mid, lo)[:n_split]
-
-    def onehot_gather(oh_mask, parts):
-        oh = oh_mask.astype(jnp.bfloat16)
-        out = None
-        for part in parts:
-            d = jax.lax.dot_general(
-                oh, part, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out = d if out is None else out + d
-        return out
+        # lossless bf16x3 split + one-hot MXU gather: ops/pallas/_gather.py
+        return _split_bf16(a, n_split)
 
     def kernel(rflat_ref, q_ref, p_ref, w_ref, keys_ref, tab_ref,
                stats_ref, unres_ref, a_buf):
@@ -360,15 +357,9 @@ def _make_point_kernel(spec: PointFusedSpec):
         parts = split_bf16(tab)
         coord_parts = tuple(pp[:, :WA] for pp in parts)
 
-        inv_cell = np.float32(1.0 / spec.cell)
-        fx, fy, fz = _FINE
-        cx_ = jnp.floor(q[:, 0] * inv_cell).astype(jnp.int32) - spec.origin_fine[0]
-        cy_ = jnp.floor(q[:, 1] * inv_cell).astype(jnp.int32) - spec.origin_fine[1]
-        cz_ = jnp.floor(q[:, 2] * inv_cell).astype(jnp.int32) - spec.origin_fine[2]
-        r_ = spec.radius
-        gx = jnp.floor_divide(cx_ - r_, fx)
-        gy = jnp.floor_divide(cy_ - r_, fy)
-        gz = jnp.floor_divide(cz_ - r_, fz)
+        # window origin from the SAME helper the table builder uses — the
+        # key-equality one-hot requires bit-identical binning on both sides
+        gx, gy, gz = _fused_block(spec, q)
 
         iota_nc = jax.lax.broadcasted_iota(jnp.int32, (TQ, NC), 1)
 
@@ -436,11 +427,17 @@ def _make_point_kernel(spec: PointFusedSpec):
         found = best_d2 < inv_found
         dist = jnp.sqrt(best_d2)
         resolved = dist < np.float32(spec.cell)  # provable-exactness radius
+        # miss zeroes the weight: a missed probe means part of the window was
+        # never consulted, so the kernel's best is not provably nearest AND
+        # the query is re-solved by the driver's fallback — contributing here
+        # too would double-count it in H/g/e2 (unresolved queries are
+        # EXCLUDED from the stats, same invariant as the voxel kernel)
         wq = (
             w_in
             * found.astype(jnp.float32)
             * (dist < np.float32(spec.max_dist)).astype(jnp.float32)
             * resolved.astype(jnp.float32)
+            * jnp.logical_not(miss).astype(jnp.float32)
         )
         live = w_in > 0
         unresolved = (miss | jnp.logical_not(resolved)) & live

@@ -163,6 +163,47 @@ def test_wide_tail_raises_exact_fraction(scene):
     assert dots[both].min() > 1 - 1e-5
 
 
+def test_miss_never_certified_exact(scene):
+    """A query whose probe window touches a key dropped by cb overflow has
+    only PART of its provable window consulted — it must be unresolved and
+    never certified exact, even when the remaining candidates reach k
+    within the exactness radius (exact is a lower-bound certificate)."""
+    del scene
+    # a long dense line: a 2048-query tile covers ~102 m of line, whose
+    # window key set (x-blocks x yz neighbors) far exceeds cb=128 -> every
+    # tile's key list overflows, while the 0.05 m spacing keeps the k-set
+    # within the certification radius (2 * cell = 0.5 m) wherever no key
+    # was dropped — exactly the miss & would-certify combination
+    rng = np.random.RandomState(11)
+    n = 12000
+    pts = np.stack(
+        [
+            np.arange(n, dtype=np.float32) * 0.05,
+            rng.randn(n).astype(np.float32) * 0.02,
+            rng.randn(n).astype(np.float32) * 0.02,
+        ],
+        axis=1,
+    )
+    pg = build_packed_grid(pts, 0.25, cap=32)
+    spec = knn_moments_spec(pg, tq=2048, cb=128)  # tiny key list: overflow
+    assert spec is not None
+    n = len(pts)
+    pos = morton_layout(spec, jnp.asarray(pts))
+    n_cap = padded_point_capacity(spec, n)
+    q_s = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(pts)
+    w_s = jnp.zeros((n_cap,), jnp.float32).at[pos].set(1.0)
+    keys, flags, tab = build_tile_tables(spec, pg, q_s, w_s)
+    _, _, _, unres, exact = knn_moments_call(
+        spec, 15, keys, flags, tab, q_s, w_s, interpret=True
+    )
+    live = np.asarray(w_s) > 0
+    un = np.asarray(unres)[live]
+    ex = np.asarray(exact)[live]
+    assert un.sum() > 0, "cb=128 did not overflow; shrink cb"
+    # the certificate never fires on a partially-consulted window
+    assert not (ex & un).any()
+
+
 def test_cap_truncation_never_certified_exact():
     """A block holding far more than the pack cap: its queries' k-sets are
     silently truncated, so the kernel must NOT flag them provably exact

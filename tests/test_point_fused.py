@@ -187,6 +187,41 @@ def test_list_overflow_degrades_to_fallback(scene):
     np.testing.assert_allclose(np.asarray(T_f), np.asarray(ref.T), atol=2e-3)
 
 
+def test_overflow_miss_excluded_from_stats(scene):
+    """Key-list overflow (cb too small) drops blocks from some tiles; a
+    query whose window touches a dropped block is flagged unresolved AND
+    must contribute NOTHING to the kernel stats — the driver's fallback
+    re-solves it, so a kernel contribution would double-count it (and with
+    a possibly-wrong, not-provably-nearest match)."""
+    pts, scan = scene
+    cfg = ICPConfig(corr=PACKED)
+    target = build_icp_target(pts, cfg)
+    spec = point_fused_spec(target.packed, "point", cfg.max_dist, cb=128)
+    T = jnp.eye(4, dtype=jnp.float32)
+    q_s, src_s, w_s, keys, tab = _tiled(spec, target, scan, T)
+    R, _ = makeRt(T)
+    C, unres = point_stats_call(
+        spec, keys, tab, q_s, src_s, w_s, R.reshape(9), interpret=True
+    )
+    nn = nearest_point_packed(target.packed, q_s)
+    live = np.asarray(w_s) > 0
+    un = np.asarray(unres) & live
+    res = np.asarray(nn.resolved) & live
+    # the scenario is real: overflow produced miss-unresolved queries that
+    # tier-1 resolves (these are the double-count candidates)
+    assert (un & res).sum() > 0, "cb=128 did not overflow; shrink cb"
+    # kernel stats must cover exactly the NOT-unresolved resolved set
+    w_eff = w_s * res * np.logical_not(un) * (np.asarray(nn.dist) < spec.max_dist)
+    safe = jnp.clip(nn.idx, 0, target.points.shape[0] - 1)
+    oracle = point_stats(src_s, q_s, target.points[safe], jnp.asarray(w_eff), R)
+    scale = max(float(jnp.abs(oracle.H).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(C[:6, :6]), np.asarray(oracle.H),
+                               atol=2e-4 * scale)
+    np.testing.assert_allclose(np.asarray(C[:6, 6]), np.asarray(oracle.g),
+                               atol=2e-4 * scale)
+    assert float(C[7, 7]) == float(jnp.sum(jnp.asarray(w_eff)))
+
+
 def test_point_backend_via_solver_class(scene):
     """backend='pallas' routes ICP/PlaneICP through the fused kernel."""
     import dataclasses
