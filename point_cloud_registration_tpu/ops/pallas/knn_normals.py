@@ -94,11 +94,17 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
         # lossless bf16x3 split + one-hot MXU gather: ops/pallas/_gather.py
         return _split_bf16(a, n_split)
 
-    def kernel(q_ref, w_ref, keys_ref, flags_ref, tab_ref, out_ref):
+    P = len(probes)
+    # probes enumerate the spans grid as dx + sx*(dy + sy*dz) — probe_body
+    # inverts that ordering arithmetically
+    psx, psy = spec.spans[0], spec.spans[1]
+
+    def kernel(q_ref, w_ref, keys_ref, flags_ref, tab_ref, out_ref,
+               ddx_ref, ddy_ref, ddz_ref, d2_ref):
         q = q_ref[...]  # (TQ, 3)
         w_in = w_ref[...][:, 0]
-        keys = keys_ref[0, :]
-        flags = flags_ref[0, :]  # 1 where the entry's block was cap-truncated
+        keys = keys_ref[0, 0, :]
+        flags = flags_ref[0, 0, :]  # 1 where the entry's block was cap-truncated
         tab = tab_ref[0]
         parts = split_bf16(tab)
 
@@ -106,14 +112,24 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
         # key-equality one-hot requires bit-identical binning on both sides
         gx, gy, gz = _fused_block(spec, q)
 
-        # candidate stash over all probes: deltas + distances live in VMEM
-        dxs, dys, dzs, d2s = [], [], [], []
-        miss = jnp.zeros((TQ,), jnp.int32)
-        cap_hit = jnp.zeros((TQ,), jnp.int32)
-        for dx, dy, dz in probes:
-            bx = gx + dx
-            by = gy + dy
-            bz = gz + dz
+        # candidate stash over all probes: deltas + distances land in 3-D
+        # (P, TQ, NC) scratch VMEM, one major-dim page per probe. Two Mosaic
+        # facts shape this (both discovered on hardware — interpret mode
+        # flags neither): (a) a value-level concat of per-probe pieces keeps
+        # TWO copies of the stash live; (b) a python-unrolled probe loop's
+        # temporaries are SUMMED into the kernel's static stack frame (45
+        # probes × ~1.2 MB of gather temporaries ≈ 56 MB). A fori_loop over
+        # probes bounds the frame to one iteration's temporaries. Probe
+        # offsets are derived arithmetically from p_i (the probe set is the
+        # regular spans grid; same formulation as the align kernel's
+        # probe_body) — a captured offset table would be a pallas constant,
+        # which pallas_call rejects.
+
+        def probe_body(p_i, carry):
+            miss, cap_hit = carry
+            bx = gx + p_i % psx
+            by = gy + (p_i // psx) % psy
+            bz = gz + p_i // (psx * psy)
             ok = (
                 (bx >= 0) & (bx < nb2x)
                 & (by >= 0) & (by < nb2y)
@@ -136,25 +152,45 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
             ddz = q[:, 2:3] - rows[:, 2 * NC : 3 * NC]
             d2 = ddx * ddx + ddy * ddy + ddz * ddz
             d2 = jnp.where(matched[:, None], d2, _MISS_D2)
-            dxs.append(ddx)
-            dys.append(ddy)
-            dzs.append(ddz)
-            d2s.append(d2)
-        ddx = jnp.concatenate(dxs, axis=1)  # (TQ, P*NC)
-        ddy = jnp.concatenate(dys, axis=1)
-        ddz = jnp.concatenate(dzs, axis=1)
-        d2 = jnp.concatenate(d2s, axis=1)
-        real = d2 < inv_found  # sentinel/padding candidates are ~1e60
+            ddx_ref[p_i, :, :] = ddx
+            ddy_ref[p_i, :, :] = ddy
+            ddz_ref[p_i, :, :] = ddz
+            d2_ref[p_i, :, :] = d2
+            return miss, cap_hit
+
+        miss0 = jnp.zeros((TQ,), jnp.int32)
+        cap0 = jnp.zeros((TQ,), jnp.int32)
+        miss, cap_hit = jax.lax.fori_loop(0, P, probe_body, (miss0, cap0))
 
         # exact k-th distance: next-min threshold ascent. Each step consumes
         # every candidate tied at the current threshold (ties counted, not
-        # re-visited), so k steps suffice for k neighbors.
+        # re-visited), so k steps suffice for k neighbors. Both reductions
+        # stream over (TQ, NC) probe pages of the scratch so no full-width
+        # (TQ, P*NC) temporary ever materializes.
         # int32 loop carries (not bool): Mosaic's proven pattern in the
         # align kernels' fori_loops
         def sel_body(_, carry):
             thr, rk, done = carry
-            nxt = jnp.min(jnp.where(d2 > thr[:, None], d2, _MISS_D2), axis=1)
-            cnt = jnp.sum(((d2 <= nxt[:, None]) & real).astype(jnp.int32), axis=1)
+
+            def min_body(p_i, nxt):
+                d2c = d2_ref[p_i, :, :]
+                return jnp.minimum(
+                    nxt,
+                    jnp.min(jnp.where(d2c > thr[:, None], d2c, _MISS_D2), axis=1),
+                )
+
+            nxt = jax.lax.fori_loop(
+                0, P, min_body, jnp.full((TQ,), _MISS_D2, jnp.float32)
+            )
+
+            def cnt_body(p_i, cnt):
+                d2c = d2_ref[p_i, :, :]
+                return cnt + jnp.sum(
+                    ((d2c <= nxt[:, None]) & (d2c < inv_found)).astype(jnp.int32),
+                    axis=1,
+                )
+
+            cnt = jax.lax.fori_loop(0, P, cnt_body, jnp.zeros((TQ,), jnp.int32))
             reached = (cnt >= k).astype(jnp.int32)
             rk = jnp.where((reached > 0) & (done == 0), nxt, rk)
             return nxt, rk, jnp.maximum(done, reached)
@@ -166,19 +202,41 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
         done = done_i > 0
 
         # selection mask: the k nearest (all real candidates when the window
-        # holds fewer than k — those queries are flagged unresolved)
-        sel = (real & (d2 <= rk[:, None])).astype(jnp.float32)
-        cnt = jnp.sum(sel, axis=1)
+        # holds fewer than k — those queries are flagged unresolved).
+        # Moments accumulate page-wise for the same VMEM reason as above.
+        def mom_body(p_i, acc):
+            d2c = d2_ref[p_i, :, :]
+            selc = ((d2c < inv_found) & (d2c <= rk[:, None])).astype(jnp.float32)
+            dxc = ddx_ref[p_i, :, :]
+            dyc = ddy_ref[p_i, :, :]
+            dzc = ddz_ref[p_i, :, :]
+            return (
+                acc[0] + jnp.sum(selc, axis=1),
+                acc[1] + jnp.sum(selc * dxc, axis=1),
+                acc[2] + jnp.sum(selc * dyc, axis=1),
+                acc[3] + jnp.sum(selc * dzc, axis=1),
+                acc[4] + jnp.sum(selc * dxc * dxc, axis=1),
+                acc[5] + jnp.sum(selc * dyc * dyc, axis=1),
+                acc[6] + jnp.sum(selc * dzc * dzc, axis=1),
+                acc[7] + jnp.sum(selc * dxc * dyc, axis=1),
+                acc[8] + jnp.sum(selc * dxc * dzc, axis=1),
+                acc[9] + jnp.sum(selc * dyc * dzc, axis=1),
+            )
+
+        zeros_f = jnp.zeros((TQ,), jnp.float32)
+        cnt, sx, sy, sz, c00, c11, c22, c01, c02, c12 = jax.lax.fori_loop(
+            0, P, mom_body, (zeros_f,) * 10
+        )
         denom = jnp.maximum(cnt, 1.0)
-        sx = jnp.sum(sel * ddx, axis=1) / denom
-        sy = jnp.sum(sel * ddy, axis=1) / denom
-        sz = jnp.sum(sel * ddz, axis=1) / denom
-        c00 = jnp.sum(sel * ddx * ddx, axis=1) / denom - sx * sx
-        c11 = jnp.sum(sel * ddy * ddy, axis=1) / denom - sy * sy
-        c22 = jnp.sum(sel * ddz * ddz, axis=1) / denom - sz * sz
-        c01 = jnp.sum(sel * ddx * ddy, axis=1) / denom - sx * sy
-        c02 = jnp.sum(sel * ddx * ddz, axis=1) / denom - sx * sz
-        c12 = jnp.sum(sel * ddy * ddz, axis=1) / denom - sy * sz
+        sx = sx / denom
+        sy = sy / denom
+        sz = sz / denom
+        c00 = c00 / denom - sx * sx
+        c11 = c11 / denom - sy * sy
+        c22 = c22 / denom - sz * sz
+        c01 = c01 / denom - sx * sy
+        c02 = c02 / denom - sx * sz
+        c12 = c12 / denom - sy * sz
 
         live = w_in > 0
         unresolved = (jnp.logical_not(done) | (miss > 0)) & live
@@ -231,15 +289,22 @@ def knn_moments_call(spec: PointFusedSpec, k: int, keys, flags, tab, q, w, *,
         in_specs=[
             pl.BlockSpec((TQ, 3), lambda i: (i, 0)),
             pl.BlockSpec((TQ, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, CB), lambda i: (i, 0)),
-            pl.BlockSpec((1, CB), lambda i: (i, 0)),
+            # (n_tiles, 1, CB) so the trailing block dims equal the array
+            # dims — Mosaic rejects a (1, CB) block over (n_tiles, CB); see
+            # point_align.point_stats_call for the same constraint.
+            pl.BlockSpec((1, 1, CB), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, CB), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, CB, W), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, _N_OUT, TQ), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tiles, _N_OUT, TQ), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((len(spec.probes), TQ, spec.cs), jnp.float32)
+            for _ in range(4)
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
-    )(q, w[:, None], keys, flags, tab)
+    )(q, w[:, None], keys[:, None, :], flags[:, None, :], tab)
     flat = jnp.transpose(out, (0, 2, 1)).reshape(n_pad, _N_OUT)[:n]
     cov6 = flat[:, 0:6]
     count = flat[:, 6]

@@ -352,7 +352,7 @@ def _make_point_kernel(spec: PointFusedSpec):
         q = q_ref[...]  # (TQ, 3)
         p = p_ref[...]
         w_in = w_ref[...][:, 0]
-        keys = keys_ref[0, :]  # (CB,) i32 — the tile's fused-block key list
+        keys = keys_ref[0, 0, :]  # (CB,) i32 — the tile's fused-block key list
         tab = tab_ref[0]  # (CB, W)
         parts = split_bf16(tab)
         coord_parts = tuple(pp[:, :WA] for pp in parts)
@@ -506,7 +506,12 @@ def point_stats_call(spec: PointFusedSpec, keys, tab, q, p, w, rflat, *,
             pl.BlockSpec((TQ, 3), lambda i, *_: (i, 0)),
             pl.BlockSpec((TQ, 3), lambda i, *_: (i, 0)),
             pl.BlockSpec((TQ, 1), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, CB), lambda i, *_: (i, 0)),
+            # Mosaic requires the last two block dims divisible by (8, 128)
+            # or equal to the array dims — a (1, CB) block over (n_tiles, CB)
+            # fails that check on hardware (interpret mode does not), so the
+            # key list rides as (n_tiles, 1, CB) with a full (1, CB) trailing
+            # block.
+            pl.BlockSpec((1, 1, CB), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, CB, W), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
@@ -524,7 +529,7 @@ def point_stats_call(spec: PointFusedSpec, keys, tab, q, p, w, rflat, *,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(rflat, q, p, w[:, None], keys, tab)
+    )(rflat, q, p, w[:, None], keys[:, None, :], tab)
     unresolved = unres[:, 0, :].reshape(n_pad)[:n] > 0
     if per_tile:
         return stats, unresolved
