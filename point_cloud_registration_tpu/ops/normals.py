@@ -183,20 +183,30 @@ def _estimate_normals_fused(points, k, cell_size, interpret,
     from point_cloud_registration_tpu.ops.pallas.knn_normals import (
         knn_moments_spec,
     )
+    from point_cloud_registration_tpu.ops.pallas.point_align import (
+        dense_rows_bytes,
+    )
     from point_cloud_registration_tpu.ops.pointgrid import build_packed_grid
 
     # cap 32 keeps the fused row at one 128-lane group (4 sub-blocks);
     # auto_cap escalates it (64/96) when >1% of points would be truncated
     # (volumetric clouds) — measured inside the build's existing sync —
     # and truncated blocks are flagged so 'exact' is never overclaimed.
+    # The dense fused-row build (build_fused_rows) keeps the escalated
+    # rows compile-safe (round 3's per-tile 5-D transpose did not).
     # cell_cap overrides (the fused row pads to the next 128-lane multiple).
     pg = build_packed_grid(points, cell_size, cap=cell_cap or 32,
                            auto_cap=cell_cap is None)
+    # tq 256 halves the per-tile table gather vs 128 at identical kernel
+    # cost; its ~3% tile key-list overflow lands ~4k queries on the
+    # compacted fallback (cap 8k) — measured at bench scale
     spec = knn_moments_spec(pg, radius=2, tq=256, cb=256)
     if spec is None:
         return None
+    if dense_rows_bytes(spec) > (1 << 31):  # dense fused table guard: 2 GB
+        return None
     spec_wide = (
-        knn_moments_spec(pg, radius=4, tq=256, cb=384) if exact_tail else None
+        knn_moments_spec(pg, radius=4, tq=128, cb=384) if exact_tail else None
     )
     normals, exact = _fused_normals_jit(pg, points, k, spec, spec_wide, interpret)
     if return_info:
@@ -204,14 +214,14 @@ def _estimate_normals_fused(points, k, cell_size, interpret,
     return normals
 
 
-def _knn_tier(pg, points_sub, w_live, k, spec, interpret):
+def _knn_tier(fused_tab, fused_over, points_sub, w_live, k, spec, interpret):
     """One kernel tier over a (possibly compacted) query subset: returns
     (cov6, unresolved, exact) in the SUBSET's order."""
     from point_cloud_registration_tpu.ops.pallas.knn_normals import (
         knn_moments_call,
     )
     from point_cloud_registration_tpu.ops.pallas.point_align import (
-        build_tile_tables,
+        build_tile_tables_dense,
         morton_layout,
         padded_point_capacity,
     )
@@ -221,7 +231,8 @@ def _knn_tier(pg, points_sub, w_live, k, spec, interpret):
     m_cap = padded_point_capacity(spec, m)
     q_s = jnp.zeros((m_cap, 3), jnp.float32).at[pos].set(points_sub)
     w_s = jnp.zeros((m_cap,), jnp.float32).at[pos].set(w_live)
-    keys, flags, tab = build_tile_tables(spec, pg, q_s, w_s)
+    keys, flags, tab = build_tile_tables_dense(spec, fused_tab, fused_over,
+                                               q_s, w_s)
     cov6, _, _, unres, exact = knn_moments_call(
         spec, k, keys, flags, tab, q_s, w_s, interpret=interpret
     )
@@ -238,11 +249,18 @@ def _knn_tier(pg, points_sub, w_live, k, spec, interpret):
 
 @partial(jax.jit, static_argnames=("k", "spec", "spec_wide", "interpret"))
 def _fused_normals_jit(pg, points, k, spec, spec_wide, interpret):
+    from point_cloud_registration_tpu.ops.pallas.point_align import (
+        build_fused_rows,
+    )
     from point_cloud_registration_tpu.ops.pointgrid import _knn_window_pass
 
     n = points.shape[0]
+    # one dense fused-row table serves both tiers (row layout depends only
+    # on cap/width, not the probe radius)
+    fused_tab, fused_over = build_fused_rows(spec, pg)
     cov6, unres_o, exact_o = _knn_tier(
-        pg, points, jnp.ones((n,), jnp.float32), k, spec, interpret
+        fused_tab, fused_over, points, jnp.ones((n,), jnp.float32), k, spec,
+        interpret,
     )
 
     if spec_wide is not None:
@@ -251,15 +269,19 @@ def _fused_normals_jit(pg, points, k, spec, spec_wide, interpret):
         # base-pass approximation — a quality knob, never a correctness one)
         tail = jnp.logical_not(exact_o) & jnp.logical_not(unres_o)
         n_tail = jnp.sum(tail)
-        cap_t = int(max(min(n // 2, 1 << 19), min(n, 256)))
+        # capacity bounds BOTH the wide tier's HBM (its per-tile table must
+        # not co-live with memory pressure from the base pass) and its
+        # 45-probe kernel cost; tail overflow keeps the base approximation
+        # (a quality knob, never correctness)
+        cap_t = int(max(min(n // 4, 1 << 18), min(n, 256)))
 
         def wide(args):
             cov6, exact_o = args
             idxs = jnp.nonzero(tail, size=cap_t, fill_value=0)[0]
             live = jnp.arange(cap_t) < n_tail
             cov_w, unres_w, exact_w = _knn_tier(
-                pg, points[idxs], live.astype(jnp.float32), k, spec_wide,
-                interpret,
+                fused_tab, fused_over, points[idxs], live.astype(jnp.float32),
+                k, spec_wide, interpret,
             )
             # non-update slots (dead fills AND wide-unresolved) scatter out
             # of range with mode=drop: a duplicate-index scatter-set applies
@@ -285,7 +307,11 @@ def _fused_normals_jit(pg, points, k, spec, spec_wide, interpret):
     def fb(nrm):
         idxs = jnp.nonzero(unres_o, size=cap_q, fill_value=0)[0]
         live = jnp.arange(cap_q) < n_un
-        _, wi = _knn_window_pass(pg, points[idxs], k, radius=3 * spec.radius,
+        # radius 2x the base tier: unresolved queries are mostly key-list
+        # overflows needing only the BASE window re-searched; 3x generated
+        # a window-offset unroll so large the remote-compile endpoint
+        # rejected the program (HTTP 413) and cost ~2x per chunk
+        _, wi = _knn_window_pass(pg, points[idxs], k, radius=2 * spec.radius,
                                  chunk=min(cap_q, 2048))
         sub = normals_from_neighbors(points, wi, points[idxs])
         # dead slots drop out of range (duplicate-index-0 hazard, as above)

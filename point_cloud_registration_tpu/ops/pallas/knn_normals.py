@@ -51,6 +51,12 @@ from point_cloud_registration_tpu.ops.pallas.point_align import (
 _N_OUT = 16  # output stat rows (10 used, padded to the sublane tiling)
 
 
+def _p_pad(p: int) -> int:
+    """Probe count padded to a multiple of the MXU batch group (12)."""
+    g = min(p, 12)
+    return -(-p // g) * g
+
+
 def knn_moments_spec(pg, radius: int = 2, tq: int = 256,
                      cb: int = 256) -> PointFusedSpec | None:
     """Spec for the k-NN moments kernel over a packed grid (host-side)."""
@@ -99,8 +105,12 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
     # inverts that ordering arithmetically
     psx, psy = spec.spans[0], spec.spans[1]
 
+    G = min(P, 12)  # probes per MXU batch
+    n_groups = -(-P // G)
+    P_pad = n_groups * G
+
     def kernel(q_ref, w_ref, keys_ref, flags_ref, tab_ref, out_ref,
-               ddx_ref, ddy_ref, ddz_ref, d2_ref):
+               ddx_ref, ddy_ref, ddz_ref, d2_ref, m_ref, br_ref):
         q = q_ref[...]  # (TQ, 3)
         w_in = w_ref[...][:, 0]
         keys = keys_ref[0, 0, :]
@@ -112,21 +122,24 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
         # key-equality one-hot requires bit-identical binning on both sides
         gx, gy, gz = _fused_block(spec, q)
 
-        # candidate stash over all probes: deltas + distances land in 3-D
-        # (P, TQ, NC) scratch VMEM, one major-dim page per probe. Two Mosaic
-        # facts shape this (both discovered on hardware — interpret mode
-        # flags neither): (a) a value-level concat of per-probe pieces keeps
-        # TWO copies of the stash live; (b) a python-unrolled probe loop's
-        # temporaries are SUMMED into the kernel's static stack frame (45
-        # probes × ~1.2 MB of gather temporaries ≈ 56 MB). A fori_loop over
-        # probes bounds the frame to one iteration's temporaries. Probe
-        # offsets are derived arithmetically from p_i (the probe set is the
-        # regular spans grid; same formulation as the align kernel's
-        # probe_body) — a captured offset table would be a pallas constant,
+        # candidate stash over all probes: deltas + distances land in FLAT
+        # (TQ, P_pad * NC) scratch VMEM — one dynamic 128-aligned lane slice
+        # per probe — so every later sweep (selection, moments) is a single
+        # full-width vector op instead of a fori_loop over probe pages
+        # (measured: the paged sweeps made selection ~2x slower from loop
+        # overhead alone). Probes are gathered in groups of ``G``: the G
+        # one-hot masks stack into one (G*TQ, CB) operand so the MXU runs
+        # one deep matmul per group instead of G shallow ones. The group
+        # loop is a fori_loop and per-probe delta extraction re-reads
+        # ``br_ref`` through dynamic sublane slices: a python-unrolled
+        # loop's temporaries are SUMMED into the kernel's static stack
+        # frame (45 probes x ~1.2 MB ~= 56 MB, a hardware-only failure that
+        # interpret mode does not flag). Probe offsets are derived
+        # arithmetically from the probe index (the probe set is the regular
+        # spans grid) — a captured offset table would be a pallas constant,
         # which pallas_call rejects.
 
-        def probe_body(p_i, carry):
-            miss, cap_hit = carry
+        def probe_key(p_i):
             bx = gx + p_i % psx
             by = gy + (p_i // psx) % psy
             bz = gz + p_i // (psx * psy)
@@ -135,98 +148,110 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
                 & (by >= 0) & (by < nb2y)
                 & (bz >= 0) & (bz < nb2z)
             )
-            pk = jnp.where(ok, bx + nb2x * (by + nb2y * bz), -1)
-            match = pk[:, None] == keys[None, :]
-            matched = jnp.sum(match.astype(jnp.int32), axis=1) > 0
-            miss = jnp.maximum(
-                miss, (ok & jnp.logical_not(matched)).astype(jnp.int32)
-            )
-            # window touches a truncated block: candidates were dropped at
-            # pack time, so the k-set here is NOT provably exact
-            cap_hit = jnp.maximum(
-                cap_hit, jnp.sum(match.astype(jnp.int32) * flags[None, :], axis=1)
-            )
-            rows = onehot_gather(match, parts)
-            ddx = q[:, 0:1] - rows[:, 0:NC]
-            ddy = q[:, 1:2] - rows[:, NC : 2 * NC]
-            ddz = q[:, 2:3] - rows[:, 2 * NC : 3 * NC]
-            d2 = ddx * ddx + ddy * ddy + ddz * ddz
-            d2 = jnp.where(matched[:, None], d2, _MISS_D2)
-            ddx_ref[p_i, :, :] = ddx
-            ddy_ref[p_i, :, :] = ddy
-            ddz_ref[p_i, :, :] = ddz
-            d2_ref[p_i, :, :] = d2
+            if P_pad != P:
+                ok = ok & (p_i < P)  # padding probes in the last group
+            return jnp.where(ok, bx + nb2x * (by + nb2y * bz), -1), ok
+
+        def group_body(g, carry):
+            miss, cap_hit = carry
+            for j in range(G):
+                p_i = g * G + j
+                pk, ok = probe_key(p_i)
+                match = pk[:, None] == keys[None, :]
+                matched = jnp.sum(match.astype(jnp.int32), axis=1) > 0
+                miss = jnp.maximum(
+                    miss, (ok & jnp.logical_not(matched)).astype(jnp.int32)
+                )
+                # window touches a truncated block: candidates were dropped
+                # at pack time, so the k-set here is NOT provably exact
+                cap_hit = jnp.maximum(
+                    cap_hit,
+                    jnp.sum(match.astype(jnp.int32) * flags[None, :], axis=1),
+                )
+                m_ref[j * TQ : (j + 1) * TQ, :] = match.astype(jnp.bfloat16)
+            br_ref[...] = onehot_gather(m_ref[...], parts)
+
+            def delta_body(j, carry_in):
+                p_i = g * G + j
+                rows = br_ref[pl.ds(j * TQ, TQ), :]
+                ddx = q[:, 0:1] - rows[:, 0:NC]
+                ddy = q[:, 1:2] - rows[:, NC : 2 * NC]
+                ddz = q[:, 2:3] - rows[:, 2 * NC : 3 * NC]
+                d2 = ddx * ddx + ddy * ddy + ddz * ddz
+                # unmatched probes gathered all-zero rows: their fake
+                # distances |q|^2 are swept out by re-deriving the match
+                # bit from the one-hot stash itself
+                mm = m_ref[pl.ds(j * TQ, TQ), :].astype(jnp.float32)
+                live = jnp.sum(mm, axis=1) > 0
+                d2 = jnp.where(live[:, None], d2, _MISS_D2)
+                off = pl.multiple_of(p_i * NC, 128)
+                ddx_ref[:, pl.ds(off, NC)] = ddx
+                ddy_ref[:, pl.ds(off, NC)] = ddy
+                ddz_ref[:, pl.ds(off, NC)] = ddz
+                d2_ref[:, pl.ds(off, NC)] = d2
+                return carry_in
+
+            jax.lax.fori_loop(0, G, delta_body, 0)
             return miss, cap_hit
 
         miss0 = jnp.zeros((TQ,), jnp.int32)
         cap0 = jnp.zeros((TQ,), jnp.int32)
-        miss, cap_hit = jax.lax.fori_loop(0, P, probe_body, (miss0, cap0))
+        miss, cap_hit = jax.lax.fori_loop(0, n_groups, group_body, (miss0, cap0))
 
         # exact k-th distance: next-min threshold ascent. Each step consumes
         # every candidate tied at the current threshold (ties counted, not
-        # re-visited), so k steps suffice for k neighbors. Both reductions
-        # stream over (TQ, NC) probe pages of the scratch so no full-width
-        # (TQ, P*NC) temporary ever materializes.
+        # re-visited), so k steps suffice for k neighbors. One fused
+        # full-width sweep per step: the count for step i shares the load
+        # with nothing else (cnt needs nxt_i), so cnt is accumulated
+        # INCREMENTALLY — count(thr < d2 <= nxt) — in the same sweep that
+        # would otherwise only find nxt.
         # int32 loop carries (not bool): Mosaic's proven pattern in the
         # align kernels' fori_loops
         def sel_body(_, carry):
-            thr, rk, done = carry
-
-            def min_body(p_i, nxt):
-                d2c = d2_ref[p_i, :, :]
-                return jnp.minimum(
-                    nxt,
-                    jnp.min(jnp.where(d2c > thr[:, None], d2c, _MISS_D2), axis=1),
-                )
-
-            nxt = jax.lax.fori_loop(
-                0, P, min_body, jnp.full((TQ,), _MISS_D2, jnp.float32)
+            thr, rk, cnt, done = carry
+            d2a = d2_ref[...]
+            above = d2a > thr[:, None]
+            nxt = jnp.min(jnp.where(above, d2a, _MISS_D2), axis=1)
+            cnt = cnt + jnp.sum(
+                (above & (d2a <= nxt[:, None]) & (d2a < inv_found)).astype(
+                    jnp.int32
+                ),
+                axis=1,
             )
-
-            def cnt_body(p_i, cnt):
-                d2c = d2_ref[p_i, :, :]
-                return cnt + jnp.sum(
-                    ((d2c <= nxt[:, None]) & (d2c < inv_found)).astype(jnp.int32),
-                    axis=1,
-                )
-
-            cnt = jax.lax.fori_loop(0, P, cnt_body, jnp.zeros((TQ,), jnp.int32))
             reached = (cnt >= k).astype(jnp.int32)
             rk = jnp.where((reached > 0) & (done == 0), nxt, rk)
-            return nxt, rk, jnp.maximum(done, reached)
+            return nxt, rk, cnt, jnp.maximum(done, reached)
 
         thr0 = jnp.full((TQ,), -1.0, jnp.float32)
         rk0 = jnp.full((TQ,), _MISS_D2, jnp.float32)
+        cnt0 = jnp.zeros((TQ,), jnp.int32)
         done0 = jnp.zeros((TQ,), jnp.int32)
-        _, rk, done_i = jax.lax.fori_loop(0, k, sel_body, (thr0, rk0, done0))
+        _, rk, _, done_i = jax.lax.fori_loop(
+            0, k, sel_body, (thr0, rk0, cnt0, done0)
+        )
         done = done_i > 0
 
         # selection mask: the k nearest (all real candidates when the window
         # holds fewer than k — those queries are flagged unresolved).
-        # Moments accumulate page-wise for the same VMEM reason as above.
-        def mom_body(p_i, acc):
-            d2c = d2_ref[p_i, :, :]
-            selc = ((d2c < inv_found) & (d2c <= rk[:, None])).astype(jnp.float32)
-            dxc = ddx_ref[p_i, :, :]
-            dyc = ddy_ref[p_i, :, :]
-            dzc = ddz_ref[p_i, :, :]
-            return (
-                acc[0] + jnp.sum(selc, axis=1),
-                acc[1] + jnp.sum(selc * dxc, axis=1),
-                acc[2] + jnp.sum(selc * dyc, axis=1),
-                acc[3] + jnp.sum(selc * dzc, axis=1),
-                acc[4] + jnp.sum(selc * dxc * dxc, axis=1),
-                acc[5] + jnp.sum(selc * dyc * dyc, axis=1),
-                acc[6] + jnp.sum(selc * dzc * dzc, axis=1),
-                acc[7] + jnp.sum(selc * dxc * dyc, axis=1),
-                acc[8] + jnp.sum(selc * dxc * dzc, axis=1),
-                acc[9] + jnp.sum(selc * dyc * dzc, axis=1),
-            )
-
-        zeros_f = jnp.zeros((TQ,), jnp.float32)
-        cnt, sx, sy, sz, c00, c11, c22, c01, c02, c12 = jax.lax.fori_loop(
-            0, P, mom_body, (zeros_f,) * 10
-        )
+        # Single full-width sweep; ten lane reductions share the four loads.
+        d2a = d2_ref[...]
+        selc = ((d2a < inv_found) & (d2a <= rk[:, None])).astype(jnp.float32)
+        dxc = ddx_ref[...]
+        dyc = ddy_ref[...]
+        dzc = ddz_ref[...]
+        cnt = jnp.sum(selc, axis=1)
+        sdx = selc * dxc
+        sdy = selc * dyc
+        sdz = selc * dzc
+        sx = jnp.sum(sdx, axis=1)
+        sy = jnp.sum(sdy, axis=1)
+        sz = jnp.sum(sdz, axis=1)
+        c00 = jnp.sum(sdx * dxc, axis=1)
+        c11 = jnp.sum(sdy * dyc, axis=1)
+        c22 = jnp.sum(sdz * dzc, axis=1)
+        c01 = jnp.sum(sdx * dyc, axis=1)
+        c02 = jnp.sum(sdx * dzc, axis=1)
+        c12 = jnp.sum(sdy * dzc, axis=1)
         denom = jnp.maximum(cnt, 1.0)
         sx = sx / denom
         sy = sy / denom
@@ -299,8 +324,15 @@ def knn_moments_call(spec: PointFusedSpec, k: int, keys, flags, tab, q, w, *,
         out_specs=pl.BlockSpec((1, _N_OUT, TQ), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tiles, _N_OUT, TQ), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((len(spec.probes), TQ, spec.cs), jnp.float32)
+            pltpu.VMEM((TQ, _p_pad(len(spec.probes)) * spec.cs), jnp.float32)
             for _ in range(4)
+        ] + [
+            pltpu.VMEM(
+                (min(len(spec.probes), 12) * TQ, CB), jnp.bfloat16
+            ),
+            pltpu.VMEM(
+                (min(len(spec.probes), 12) * TQ, W), jnp.float32
+            ),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),

@@ -249,24 +249,16 @@ def _fused_block(spec: PointFusedSpec, q):
     )
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def build_tile_tables(spec: PointFusedSpec, pg, q_s, w_s):
-    """Per-tile key lists + local candidate tables (once per align).
+def _tile_key_lists(spec: PointFusedSpec, q_s, w_s):
+    """Distinct fused-block key list per Morton tile (sorted ascending).
 
-    ``q_s``/``w_s`` are already in the Morton tile layout (padded to a tile
-    multiple; pad slots carry w = 0 and are excluded). Returns
-    ``(keys (nt, cb) i32, tab (nt, cb, row_width) f32)``. Lists include
-    globally-EMPTY in-grid blocks (their rows are all-sentinel), so a probe
-    key absent from the list provably means the query left its layout-time
-    window union. Tiles whose distinct-key count exceeds ``cb`` drop the
-    highest keys — those probes report unresolved and fall back (a
-    performance, never a correctness, event).
-    """
+    Tiles whose distinct-key count exceeds ``cb`` drop the highest keys —
+    those probes report unresolved and fall back (a performance, never a
+    correctness, event)."""
     tq, cb = spec.tq, spec.cb
     n_cap = q_s.shape[0]
     nt = n_cap // tq
     nb2x, nb2y, nb2z = spec.nb2_dims
-    nbx, nby, _ = spec.nb_dims
     gx, gy, gz = _fused_block(spec, q_s)
     live = w_s > 0
     keys_p = []
@@ -292,6 +284,125 @@ def build_tile_tables(spec: PointFusedSpec, pg, q_s, w_s):
         .at[jnp.arange(nt)[:, None], slot]
         .set(sk)[:, :cb]
     )
+    return lists
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def build_fused_rows(spec: PointFusedSpec, pg):
+    """Dense fused-row planar table, indexed DIRECTLY by fused-block key.
+
+    Replaces the per-tile 5-D gather/transpose (which XLA materializes with
+    a tiny trailing dim that the (8, 128) HBM tiling pads catastrophically —
+    176 GB at normals bench scale). Built scatter-free: TPU scatters that
+    update a partial lane slice of a wide row serialize into per-row
+    read-modify-writes (measured 13 s for 12 slice-scatters at bench scale
+    vs 40 ms for the same bytes as full rows), so each fused row instead
+    GATHERS its 4 packed sub-rows via ``pg.block_row`` (pure index math)
+    and the planar ``[x(cs) y z (features)]`` layout falls out of static
+    lane slices + one concat. The per-tile table then falls out of ONE
+    row-aligned gather (:func:`build_tile_tables_dense`).
+
+    Returns ``(tab (NB2 + 1, row_width) f32, over (NB2 + 1,) i32)`` where
+    row ``NB2`` is the all-sentinel row for globally-empty blocks. Memory is
+    ``NB2 * row_width * 4`` bytes — callers gate on :func:`dense_rows_bytes`.
+    """
+    nb2x, nb2y, nb2z = spec.nb2_dims
+    nbx, nby, _ = spec.nb_dims
+    nb2_total = nb2x * nb2y * nb2z
+    cap, w, cs = spec.cap, spec.width, spec.cs
+    r_rows = pg.pts_packed.shape[0]  # R + 1 (last = padding row)
+    r_sent = r_rows - 1  # all-+inf padding row -> MISS after sentinel swap
+
+    # de-interleave packed rows ONCE: [x0 y0 z0 x1 ...] -> [x(cap)|y|z(|f)]
+    # (static strided lane slices; swap the +inf packed padding for the
+    # finite MISS sentinel here — 0 x inf would poison the MXU one-hot)
+    comps = [pg.pts_packed[:, c::w] for c in range(w)]
+    comps[:3] = [jnp.where(jnp.isfinite(c), c, MISS_COORD) for c in comps[:3]]
+    if w > 3:
+        comps[3:] = [jnp.where(jnp.isfinite(c), c, 0.0) for c in comps[3:]]
+    planar = jnp.concatenate(comps, axis=1)  # (R+1, w*cap)
+
+    # packed-row index of each fused row's 4 sub-blocks: gather block_row
+    # at the sub-block's packed key (includes the sentinel row nb2_total,
+    # whose out-of-range coordinates resolve to the MISS row)
+    fi = jnp.arange(nb2_total + 1, dtype=jnp.int32)
+    fx = fi % nb2x
+    rem = fi // nb2x
+    fy = rem % nb2y
+    fz = rem // nb2y
+    rows_s = []
+    over = jnp.zeros((nb2_total + 1,), jnp.int32)
+    for s in range(4):
+        px = 2 * fx + (s % 2)
+        py = 2 * fy + (s // 2)
+        ok = (px < nbx) & (py < nby) & (fz < spec.nb_dims[2]) & (fi < nb2_total)
+        pkey = px + nbx * (py + nby * fz)
+        prow = pg.block_row[jnp.where(ok, pkey, 0)]
+        prow = jnp.where(ok & (prow >= 0), prow, r_sent)
+        over = jnp.maximum(
+            over, (pg.row_over[prow] & (prow != r_sent)).astype(jnp.int32)
+        )
+        rows_s.append(planar[prow])  # (NB2+1, w*cap)
+    # lane order [x: s0 s1 s2 s3 | y: ... | z: ...] + cs padding per group
+    pad = cs - 4 * cap
+    pieces = []
+    for c in range(w):
+        for s in range(4):
+            pieces.append(rows_s[s][:, c * cap : (c + 1) * cap])
+        if pad:
+            pieces.append(
+                jnp.full((nb2_total + 1, pad),
+                         MISS_COORD if c < 3 else 0.0, jnp.float32)
+            )
+    tab = jnp.concatenate(pieces, axis=1)
+    return tab, over
+
+
+def dense_rows_bytes(spec: PointFusedSpec) -> int:
+    """HBM bytes of the dense fused-row table for this spec."""
+    return (int(np.prod(spec.nb2_dims)) + 1) * spec.row_width * 4
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def build_tile_tables_dense(spec: PointFusedSpec, fused_tab, fused_over,
+                            q_s, w_s):
+    """Per-tile key lists + candidate tables from the dense fused rows.
+
+    Output-compatible with :func:`build_tile_tables` (same lists / over /
+    tab content) but the table build is one aligned gather instead of the
+    layout-hostile 5-D transpose. ``q_s``/``w_s`` are already in the Morton
+    tile layout (padded to a tile multiple; pad slots carry w = 0). Lists
+    include globally-EMPTY in-grid blocks (their rows are all-sentinel), so
+    a probe key absent from the list provably means the query left its
+    layout-time window union.
+    """
+    lists = _tile_key_lists(spec, q_s, w_s)
+    nb2_total = int(np.prod(spec.nb2_dims))
+    safe = jnp.where(lists >= 0, lists, nb2_total)
+    tab = fused_tab[safe]
+    over = fused_over[safe]
+    return lists, over, tab
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def build_tile_tables(spec: PointFusedSpec, pg, q_s, w_s):
+    """Per-tile key lists + local candidate tables (once per align).
+
+    ``q_s``/``w_s`` are already in the Morton tile layout (padded to a tile
+    multiple; pad slots carry w = 0 and are excluded). Returns
+    ``(keys (nt, cb) i32, tab (nt, cb, row_width) f32)``. Lists include
+    globally-EMPTY in-grid blocks (their rows are all-sentinel), so a probe
+    key absent from the list provably means the query left its layout-time
+    window union. Tiles whose distinct-key count exceeds ``cb`` drop the
+    highest keys — those probes report unresolved and fall back (a
+    performance, never a correctness, event).
+    """
+    tq, cb = spec.tq, spec.cb
+    n_cap = q_s.shape[0]
+    nt = n_cap // tq
+    nbx, nby, _ = spec.nb_dims
+    nb2x, nb2y, nb2z = spec.nb2_dims
+    lists = _tile_key_lists(spec, q_s, w_s)
 
     # local candidate rows: 4 packed sub-rows per fused key, gathered and
     # laid out planar [x(cs) y z (nx ny nz)] with sub-blocks concatenated

@@ -221,3 +221,31 @@ def test_cap_truncation_never_certified_exact():
     assert not exact[:500].any()
     # but the spread region still certifies normally
     assert exact[500:].mean() > 0.7
+
+
+def test_dense_build_matches_per_tile_build(scene):
+    """build_tile_tables_dense (one aligned gather from the dense fused-row
+    table) must reproduce build_tile_tables' lists/over/tab exactly — same
+    planar layout, same sub-block order, same sentinels."""
+    from point_cloud_registration_tpu.ops.pallas.point_align import (
+        build_fused_rows,
+        build_tile_tables_dense,
+    )
+
+    pts = scene[:5000]
+    pg = build_packed_grid(pts, 0.4, cap=32)
+    for radius, cb in ((2, 256), (4, 384)):
+        spec = knn_moments_spec(pg, radius=radius, tq=128, cb=cb)
+        n = len(pts)
+        pos = morton_layout(spec, jnp.asarray(pts))
+        n_cap = padded_point_capacity(spec, n)
+        q_s = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(pts)
+        w_s = jnp.zeros((n_cap,), jnp.float32).at[pos].set(1.0)
+        keys_o, over_o, tab_o = build_tile_tables(spec, pg, q_s, w_s)
+        ftab, fover = build_fused_rows(spec, pg)
+        keys_d, over_d, tab_d = build_tile_tables_dense(
+            spec, ftab, fover, q_s, w_s
+        )
+        np.testing.assert_array_equal(np.asarray(keys_o), np.asarray(keys_d))
+        np.testing.assert_array_equal(np.asarray(over_o), np.asarray(over_d))
+        np.testing.assert_array_equal(np.asarray(tab_o), np.asarray(tab_d))
