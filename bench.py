@@ -133,7 +133,101 @@ def make_sparse_scene(rng: np.random.RandomState, n_total: int = 1_200_000) -> n
     return np.vstack([ground, *veg, pad]).astype(np.float32)
 
 
-SCENES = {"city": make_city_map, "sparse": make_sparse_scene}
+def make_lidar_map(rng: np.random.RandomState, n_total: int = 1_200_000) -> np.ndarray:
+    """Third scene family: genuine spinning-LiDAR sampling statistics.
+
+    The first two families sample surfaces *uniformly*; real B-01-style maps
+    (reference data/README.md:1-24, benchmark/test_data.py:21-44) are unions
+    of ring scans — range-dependent density (~1/r^2 per unit area), discrete
+    elevation rings, and hard occlusion shadows behind structure. This
+    ray-casts 64-ring scans from poses along a trajectory through a walled
+    world (first-hit only, so facades shadow everything behind them), then
+    concatenates the returns: near-field cells hold hundreds of points while
+    far ground thins to <1/m^2, which is exactly the regime that stresses
+    per-block candidate caps and window-exactness fractions.
+    """
+    extent = 200.0
+    n_walls = 40
+    # world: ground plane z=0 + axis-aligned facades (x0, y0, length,
+    # height, axis) — axis 0: wall along x at y=y0; axis 1: along y at x=x0
+    walls = []
+    for _ in range(n_walls):
+        x0, y0 = rng.rand(2) * (extent - 30)
+        walls.append((x0, y0, 10 + rng.rand() * 20, 5 + rng.rand() * 15,
+                      0 if rng.rand() < 0.5 else 1))
+    wx0 = np.array([w[0] for w in walls])
+    wy0 = np.array([w[1] for w in walls])
+    wlen = np.array([w[2] for w in walls])
+    whgt = np.array([w[3] for w in walls])
+    waxis = np.array([w[4] for w in walls])
+
+    n_rings = 64
+    elev = np.deg2rad(np.linspace(-24.0, 14.0, n_rings))
+    n_poses = 10
+    path_t = np.linspace(0.15, 0.85, n_poses)
+    ox = extent * path_t
+    oy = extent * (0.5 + 0.25 * np.sin(path_t * 4.0))
+    oz = np.full(n_poses, 1.8)
+    n_az = max(256, n_total // (n_poses * n_rings) + 1)
+    az = np.linspace(0, 2 * np.pi, n_az, endpoint=False)
+
+    max_range = 120.0
+    pts = []
+    for p in range(n_poses):
+        a = az + rng.rand() * (2 * np.pi / n_az)  # de-correlate pose phases
+        ca, sa = np.cos(a), np.sin(a)
+        ce, se = np.cos(elev), np.sin(elev)
+        # ray dirs (n_rings, n_az, 3)
+        dx = ce[:, None] * ca[None, :]
+        dy = ce[:, None] * sa[None, :]
+        dz = np.broadcast_to(se[:, None], dx.shape)
+        t_best = np.full(dx.shape, max_range)
+        # ground z=0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tg = -oz[p] / dz
+        hit = (dz < -1e-6) & (tg < t_best)
+        t_best = np.where(hit, tg, t_best)
+        # facades (first hit wins -> occlusion shadows)
+        for j in range(n_walls):
+            if waxis[j] == 0:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tw = (wy0[j] - oy[p]) / dy
+                hx = ox[p] + tw * dx
+                span_lo, span_hi = wx0[j], wx0[j] + wlen[j]
+            else:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tw = (wx0[j] - ox[p]) / dx
+                hx = oy[p] + tw * dy
+                span_lo, span_hi = wy0[j], wy0[j] + wlen[j]
+            hz = oz[p] + tw * dz
+            ok = (
+                (tw > 0.5) & (tw < t_best)
+                & (hx >= span_lo) & (hx <= span_hi)
+                & (hz >= 0.0) & (hz <= whgt[j])
+            )
+            t_best = np.where(ok, tw, t_best)
+        ret = t_best < max_range
+        r = t_best[ret]
+        hits = np.stack(
+            [ox[p] + r * dx[ret], oy[p] + r * dy[ret], oz[p] + r * dz[ret]],
+            axis=1,
+        )
+        # range-dependent sensor noise along the ray
+        hits += (rng.randn(len(hits), 3) * (0.008 * (1 + r / 60.0))[:, None])
+        pts.append(hits)
+    pts = np.vstack(pts)
+    if len(pts) >= n_total:
+        sel = rng.choice(len(pts), n_total, replace=False)
+        return pts[sel].astype(np.float32)
+    # top up with re-noised duplicates (denser near-field, like repeated
+    # passes over the same street)
+    extra = rng.choice(len(pts), n_total - len(pts), replace=True)
+    dup = pts[extra] + rng.randn(n_total - len(pts), 3) * 0.01
+    return np.vstack([pts, dup]).astype(np.float32)
+
+
+SCENES = {"city": make_city_map, "sparse": make_sparse_scene,
+          "lidar": make_lidar_map}
 
 
 def make_scan(rng, map_points, num_points=100_000):

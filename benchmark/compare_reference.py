@@ -59,14 +59,21 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--n-map", type=int, default=1_200_000)
     ap.add_argument("--n-scan", type=int, default=100_000)
-    ap.add_argument("--scene", choices=["city", "sparse", "both"], default="both",
-                    help="scene family; 'both' reports the two-scene table")
+    ap.add_argument("--scene", choices=["city", "sparse", "lidar", "both", "all"],
+                    default="both",
+                    help="scene family; 'both' = city+sparse, 'all' adds the "
+                    "ray-cast LiDAR family (bench.make_lidar_map)")
     args = ap.parse_args()
 
     import bench
 
     ref = import_reference()
-    scenes = ["city", "sparse"] if args.scene == "both" else [args.scene]
+    if args.scene == "both":
+        scenes = ["city", "sparse"]
+    elif args.scene == "all":
+        scenes = ["city", "sparse", "lidar"]
+    else:
+        scenes = [args.scene]
     for scene in scenes:
         print(f"\n=== scene: {scene} ===")
         run_scene(ref, bench.SCENES[scene], args)

@@ -63,11 +63,28 @@ def estimate_normals(points, k: int = 15):
 
 
 def estimate_norm_with_tree(points, kdtree=None, k: int = 15):
-    """Signature-parity wrapper (estimate_normals.py:27-87): the prebuilt
-    index argument is unused — the grid engine re-derives its index, which is
-    cheap on device."""
-    del kdtree
-    return estimate_normals(points, k=k)
+    """k-NN PCA normals against a prebuilt neighbor index
+    (reference estimate_normals.py:27-87).
+
+    When ``kdtree`` is provided it is honored: neighbor indices come from
+    ``kdtree.query(points, k)`` and — exactly like the reference — the
+    PCA moments gather from ``points`` at those indices (so a tree built
+    over a different cloud produces the reference's semantics, not a
+    silent re-index). ``None`` re-derives the grid index from ``points``,
+    which is cheap on device."""
+    if kdtree is None:
+        return estimate_normals(points, k=k)
+
+    import jax as _jax
+    import jax.numpy as _jnp
+    import numpy as _np
+
+    from point_cloud_registration_tpu.ops.normals import normals_from_neighbors
+
+    _, idx = kdtree.query(points, k=k)
+    pts = _jnp.asarray(points, _jnp.float32)
+    nrm = normals_from_neighbors(pts, _jnp.asarray(idx, _jnp.int32), pts)
+    return _np.asarray(_jax.device_get(nrm))
 
 
 __all__ = [

@@ -22,11 +22,31 @@ from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
 from point_cloud_registration_tpu.models._fused import batched_gauss_newton
 from point_cloud_registration_tpu.ops.pallas.point_align import (
     PointFusedSpec,
+    build_fused_rows,
     build_tile_tables,
+    build_tile_tables_dense,
+    dense_rows_bytes,
     morton_layout,
     padded_point_capacity,
     point_stats_call,
 )
+
+
+def target_fused_rows(spec: PointFusedSpec | None, pg):
+    """Once-per-target dense fused-row table for the align drivers, or None
+    when the fused spec is unavailable or the dense table would be too big
+    (falls back to the per-align gather/transpose build)."""
+    if spec is None or pg is None:
+        return None
+    if dense_rows_bytes(spec) > (1 << 31):  # 2 GB guard
+        return None
+    return build_fused_rows(spec, pg)
+
+
+def _tables(spec, pg, frows, q_s, w_s):
+    if frows is not None:
+        return build_tile_tables_dense(spec, frows[0], frows[1], q_s, w_s)
+    return build_tile_tables(spec, pg, q_s, w_s)
 from point_cloud_registration_tpu.ops.pointgrid import nearest_point_packed
 from point_cloud_registration_tpu.ops.reduce import plane_stats, point_stats
 from point_cloud_registration_tpu.ops.voxelize import query_nearest_voxel
@@ -71,12 +91,15 @@ def _fallback_stats(target, normals, spec: PointFusedSpec, proxy_vs, qs, ps,
 
 @partial(jax.jit, static_argnames=("cfg", "spec", "interpret"))
 def fused_point_align(target, normals, source, src_weight, init_T, cfg,
-                      spec: PointFusedSpec, interpret: bool = False):
+                      spec: PointFusedSpec, interpret: bool = False,
+                      frows=None):
     """``align`` with the fused point kernel: returns ``(T, GNDiagnostics)``.
 
     ``target`` is a models/_point_corr.PointCorrTarget with the packed
     backend populated; ``normals`` is the (N, 3) per-point normal field for
-    kind "plane_pt" (None for "point").
+    kind "plane_pt" (None for "point"); ``frows`` the once-per-target dense
+    fused-row table from :func:`target_fused_rows` (None -> per-align
+    build).
     """
     pg = target.packed
     init_T = jnp.asarray(init_T, jnp.float32)
@@ -88,7 +111,7 @@ def fused_point_align(target, normals, source, src_weight, init_T, cfg,
     src_s = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(source)
     w_s = jnp.zeros((n_cap,), jnp.float32).at[pos].set(src_weight)
     q0_s = transform_points(init_T, src_s)
-    keys, _, tab = build_tile_tables(spec, pg, q0_s, w_s)
+    keys, _, tab = _tables(spec, pg, frows, q0_s, w_s)
     fb_cap, proxy_vs = _fallback_caps(spec, n)
 
     def _resolve(qs, ps, ws, s):
@@ -131,7 +154,7 @@ def fused_point_align(target, normals, source, src_weight, init_T, cfg,
 @partial(jax.jit, static_argnames=("cfg", "spec", "interpret"))
 def fused_point_align_batched(target, normals, sources, src_weights, init_Ts,
                               cfg, spec: PointFusedSpec,
-                              interpret: bool = False):
+                              interpret: bool = False, frows=None):
     """Batched multi-scan raw-point ``align`` on ONE kernel stream.
 
     ``sources`` (B, n, 3) against one shared packed target — the point-kind
@@ -163,7 +186,7 @@ def fused_point_align_batched(target, normals, sources, src_weights, init_Ts,
     src_s, w_s = jax.vmap(scat)(sources, src_weights, pos)  # (B, n_cap, .)
     q0_s = jax.vmap(transform_points)(init_Ts, src_s)
     keys_b, _, tab_b = jax.vmap(
-        lambda q1, w1: build_tile_tables(spec, pg, q1, w1)
+        lambda q1, w1: _tables(spec, pg, frows, q1, w1)
     )(q0_s, w_s)
     keys = keys_b.reshape(B * tiles_pp, spec.cb)
     tab = tab_b.reshape(B * tiles_pp, spec.cb, spec.row_width)

@@ -29,7 +29,10 @@ from point_cloud_registration_tpu.models._point_corr import (
     match_points,
 )
 from point_cloud_registration_tpu.models._fused import use_fused
-from point_cloud_registration_tpu.models._point_fused import fused_point_align
+from point_cloud_registration_tpu.models._point_fused import (
+    fused_point_align,
+    target_fused_rows,
+)
 from point_cloud_registration_tpu.models.base import AlignResult, Registration, pad_points
 from point_cloud_registration_tpu.ops.pallas.point_align import point_fused_spec
 from point_cloud_registration_tpu.ops.reduce import point_stats
@@ -78,9 +81,18 @@ class ICP(Registration):
 
     def set_target(self, target) -> None:
         self._target = build_icp_target(target, self.cfg)
+        # radius 2 doubles the kernel's provable-exactness radius to
+        # 2 * cell_fine (= max_dist / 2) so early iterations at realistic
+        # initial offsets resolve in-kernel; tq 128 / cb 512 because a
+        # SUBSAMPLED scan's Morton tiles are spatially huge — p99 distinct
+        # blocks per 128-query tile is ~490 on the B-01 protocol, and a
+        # key-list overflow floods the XLA fallback tiers every iteration
+        # (the round-3 regression: 98% of tiles overflowed at tq512/cb256)
         self._spec = point_fused_spec(
-            self._target.packed, "point", self.cfg.max_dist, self.cfg.huber_delta
+            self._target.packed, "point", self.cfg.max_dist,
+            self.cfg.huber_delta, tq=128, cb=512, radius=2,
         )
+        self._frows = target_fused_rows(self._spec, self._target.packed)
 
     def _align_fn(self, target, source, src_weight, init_T) -> AlignResult:
         spec = getattr(self, "_spec", None)
@@ -88,6 +100,7 @@ class ICP(Registration):
             T, diag = fused_point_align(
                 target, None, source, src_weight, init_T, self.cfg, spec,
                 interpret=jax.default_backend() != "tpu",
+                frows=getattr(self, "_frows", None),
             )
             return AlignResult(T=T, diagnostics=diag)
         return icp_align(target, source, src_weight, init_T, self.cfg)

@@ -26,7 +26,10 @@ from point_cloud_registration_tpu.models._point_corr import (
     match_points,
 )
 from point_cloud_registration_tpu.models._fused import use_fused
-from point_cloud_registration_tpu.models._point_fused import fused_point_align
+from point_cloud_registration_tpu.models._point_fused import (
+    fused_point_align,
+    target_fused_rows,
+)
 from point_cloud_registration_tpu.models.base import AlignResult, Registration
 from point_cloud_registration_tpu.ops.normals import estimate_normals
 from point_cloud_registration_tpu.ops.pallas.point_align import point_fused_spec
@@ -115,10 +118,15 @@ class PlaneICP(Registration):
         del kdree
         self._target = build_plane_icp_target(target, self.cfg, normals=norm)
         self.normal = self._target.normals  # attribute parity (plane_icp.py:23)
+        # radius 2 / tq 128 / cb 512: same fallback-flood fix as
+        # ICP.set_target (models/icp.py) — subsampled-scan tiles need the
+        # deep key lists, and exactness to 2 * cell_fine keeps the XLA
+        # tiers compacted
         self._spec = point_fused_spec(
             self._target.corr.packed, "plane_pt", self.cfg.max_dist,
-            self.cfg.huber_delta,
+            self.cfg.huber_delta, tq=128, cb=512, radius=2,
         )
+        self._frows = target_fused_rows(self._spec, self._target.corr.packed)
 
     def _align_fn(self, target, source, src_weight, init_T) -> AlignResult:
         spec = getattr(self, "_spec", None)
@@ -126,6 +134,7 @@ class PlaneICP(Registration):
             T, diag = fused_point_align(
                 target.corr, target.normals, source, src_weight, init_T,
                 self.cfg, spec, interpret=jax.default_backend() != "tpu",
+                frows=getattr(self, "_frows", None),
             )
             return AlignResult(T=T, diagnostics=diag)
         return plane_icp_align(target, source, src_weight, init_T, self.cfg)

@@ -151,7 +151,8 @@ class PointFusedSpec:
 def point_fused_spec(pg, kind: str, max_dist: float,
                      huber_delta: float | None = None,
                      tq: int = 512, cb: int = 256,
-                     unroll: bool = True) -> PointFusedSpec | None:
+                     unroll: bool = True,
+                     radius: int = 1) -> PointFusedSpec | None:
     """Spec for a :class:`ops.pointgrid.PackedPointGrid` target.
 
     Host-side only (the packed grid stores its geometry as NumPy). Returns
@@ -184,6 +185,7 @@ def point_fused_spec(pg, kind: str, max_dist: float,
             max_dist=float(max_dist),
             huber_delta=huber_delta,
             unroll=unroll,
+            radius=radius,
         )
     except ValueError:
         return None
@@ -537,7 +539,10 @@ def _make_point_kernel(spec: PointFusedSpec):
 
         found = best_d2 < inv_found
         dist = jnp.sqrt(best_d2)
-        resolved = dist < np.float32(spec.cell)  # provable-exactness radius
+        # provable-exactness radius: the probe window covers the closed
+        # ball of radius * cell, so a best match inside it is the gated
+        # nearest (up to the shared per-block cap truncation)
+        resolved = dist < np.float32(spec.radius * spec.cell)
         # miss zeroes the weight: a missed probe means part of the window was
         # never consulted, so the kernel's best is not provably nearest AND
         # the query is re-solved by the driver's fallback — contributing here

@@ -184,11 +184,7 @@ def _pack(skeys, spts, sidx, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
     into the fixed-width block tables with ONE row scatter."""
     n = spts.shape[0]
     w = spts.shape[1]
-    arange = jnp.arange(n, dtype=jnp.int32)
     new_block = jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
-    row = jnp.cumsum(new_block).astype(jnp.int32) - 1  # (N,) packed row per point
-    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(new_block, arange, 0))
-    rank = arange - seg_start
 
     nb_total = int(np.prod(nb_dims))
     # Block<->row maps from the ~n_occ run starts only (compacted via
@@ -208,15 +204,36 @@ def _pack(skeys, spts, sidx, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
         jnp.where(live_row, key_at, jnp.int32(nb_total))
     ].set(jnp.arange(r_cap + 1, dtype=jnp.int32), mode="drop")
 
+    # ONE fused (N, w+1)-row scatter carrying coordinates AND the original
+    # index (bitcast to f32): TPU scatter cost is per ROW (~0.13 us,
+    # width-independent — measured; slice-gather reformulations lose 2-3x),
+    # so folding the index column halves the scatter bill vs two scatters.
+    # The index bits are biased by 0x40000000 (floats in [2, 4)) BEFORE the
+    # bitcast: a raw small index bitcasts to a DENORMAL f32, and the TPU
+    # scatter pipeline flushes denormals to zero at bench scale (measured:
+    # idx_packed came back all-zero on hardware while tiny shapes and CPU
+    # preserved bits).
+    arange = jnp.arange(n, dtype=jnp.int32)
+    row = jnp.cumsum(new_block).astype(jnp.int32) - 1
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_block, arange, 0)
+    )
+    rank = arange - seg_start
     keep = rank < cap
-    # ONE (N, w)-row scatter (a slot's floats are contiguous in the packed
-    # layout: col = rank*w..rank*w+w-1), ~w x cheaper than w element
-    # scatters — TPU scatter cost is per ROW.
     slot = jnp.where(keep, row * cap + rank, jnp.int32((r_cap + 1) * cap))
-    pts_rows = jnp.full(((r_cap + 1) * cap, w), jnp.inf, jnp.float32)
-    pts_rows = pts_rows.at[slot].set(spts, mode="drop")
-    flat_idx = jnp.full(((r_cap + 1) * cap,), -1, jnp.int32)
-    flat_idx = flat_idx.at[slot].set(sidx, mode="drop")
+    idx_bits = jax.lax.bitcast_convert_type(
+        sidx | jnp.int32(0x40000000), jnp.float32
+    )
+    src = jnp.concatenate([spts, idx_bits[:, None]], axis=1)
+    packed = jnp.full(((r_cap + 1) * cap, w + 1), jnp.inf, jnp.float32)
+    packed = packed.at[slot].set(src, mode="drop").reshape(r_cap + 1, cap, w + 1)
+    pts_rows = packed[..., :w]
+    idx_f = packed[..., w]
+    idx_rows = jnp.where(
+        jnp.isfinite(idx_f),
+        jax.lax.bitcast_convert_type(idx_f, jnp.int32) & jnp.int32(0x3FFFFFFF),
+        jnp.int32(-1),
+    )
 
     return PackedPointGrid(
         origin_fine=origin_fine,
@@ -225,7 +242,7 @@ def _pack(skeys, spts, sidx, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
         block_row=block_row,
         row_key=row_key,
         pts_packed=pts_rows.reshape(r_cap + 1, cap * w),
-        idx_packed=flat_idx.reshape(r_cap + 1, cap),
+        idx_packed=idx_rows,
         row_over=row_over,
     )
 

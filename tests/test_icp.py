@@ -99,3 +99,34 @@ def test_diagnostics_populated(reference_fixture):
     it = int(d.iterations)
     assert 1 <= it <= 30
     assert np.all(np.asarray(d.e2_history[:it]) >= 0)
+
+
+def test_huber_align_beats_plain_on_corrupted_scene():
+    """End-to-end robustness (SURVEY M6): with 15% gross outliers injected
+    into the scan, the Huber-weighted align must recover the true transform
+    more accurately than the unweighted one. Exercises huber_delta through
+    the full solver, not just one linearization."""
+    rng = np.random.RandomState(77)
+    target = make_scene(rng, n_floor=4000, n_wall=2000)
+    dx = np.array([0.02, -0.03, 0.01, 0.15, -0.1, 0.08], np.float32)
+    scan, T_true = make_scan(rng, target, dx)
+    n_out = len(scan) * 15 // 100
+    corrupt = scan.copy()
+    # DIRECTIONAL gross outliers INSIDE the gate: a common-mode shift biases
+    # plain least squares (symmetric corruption would average out), while
+    # staying under max_dist so the gate cannot silently reject it
+    corrupt[:n_out] += (
+        np.float32([0.9, 0.6, 0.4])
+        + rng.randn(n_out, 3).astype(np.float32) * 0.1
+    )
+
+    def err(huber):
+        s = ICP(max_iter=40, max_dist=2.0, tol=1e-6, huber_delta=huber)
+        s.set_target(target)
+        T = np.asarray(s.align(corrupt))
+        # align returns the inverse map: T @ T_true == I when exact
+        return np.linalg.norm(T @ T_true - np.eye(4))
+
+    e_plain = err(None)
+    e_huber = err(0.1)
+    assert e_huber < 0.6 * e_plain, (e_huber, e_plain)

@@ -60,3 +60,26 @@ def test_get_norm_lines_structure():
     assert lines.shape == (8, 3)
     np.testing.assert_allclose(lines[::2], pts)
     np.testing.assert_allclose(lines[1::2], pts + nrm * 0.5)
+
+
+def test_estimate_norm_with_tree_honors_injected_tree():
+    """An injected tree is queried, not ignored (estimate_normals.py:27-40
+    contract): with a tree over the same cloud the result matches the exact
+    kd-tree PCA oracle; the indices provably come from the TREE because a
+    tree over a rigidly shifted copy changes the output."""
+    from point_cloud_registration_tpu import KDTree
+
+    rng = np.random.RandomState(25)
+    pts = make_scene(rng, n_floor=600, n_wall=300)
+    k = 10
+    tree = KDTree(pts)
+    ours = estimate_norm_with_tree(pts, tree, k=k)
+    _, idx = knn_np(pts, pts, k=k)
+    ref = np.stack([pca_normal_np(pts[idx[i]]) for i in range(len(pts))])
+    cos = np.abs(np.sum(ours * ref, axis=-1))
+    assert np.median(cos) > 0.9999
+
+    # a tree over different points must change the neighbor sets
+    shifted = pts + np.float32([50.0, 0.0, 0.0])
+    other = estimate_norm_with_tree(pts, KDTree(shifted), k=k)
+    assert not np.allclose(ours, other)
