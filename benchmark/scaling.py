@@ -37,10 +37,19 @@ def main():
         "(parallel.align_batched_fused_sharded) instead of the XLA gather "
         "path; TPU only (the kernel has no CPU compile target)",
     )
+    ap.add_argument(
+        "--force-cpu", action="store_true",
+        help="pin the CPU backend from inside the process (this container's "
+        "sitecustomize re-asserts jax_platforms=axon, so the env var alone "
+        "is not enough; needed when the real TPU is busy, e.g. when bench.py "
+        "runs this harness as a subprocess)",
+    )
     args = ap.parse_args()
 
     import jax
 
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     except Exception:

@@ -34,6 +34,16 @@ from point_cloud_registration_tpu.ops.pallas.fused_align import (
 from point_cloud_registration_tpu.ops.reduce import plane_stats, whitened_stats
 
 
+def small_fallback_cap(fb_cap: int, n: int) -> int:
+    """Capacity of the cheap first fallback tier, shared by the voxel and
+    point fused drivers: in the converged regime the kernel leaves only
+    ~1e-4..1e-3 of the scan unresolved (hardware sweep, r4), so the
+    per-iteration re-query usually touches a few hundred queries —
+    compacting to the full ``fb_cap`` (n/8) would make the fallback the
+    per-iteration bottleneck for nothing."""
+    return int(min(fb_cap, max(min(n, 256), 1024)))
+
+
 def use_fused(backend: str, spec: FusedSpec | None) -> bool:
     """Host-side backend resolution: the fused kernel runs compiled on TPU
     by default and only when the target has the planar tables; "pallas"
@@ -135,6 +145,7 @@ def fused_voxel_align_batched(vm, sources, src_weights, init_Ts, cfg,
     tiles_pp = n_cap_al // tq
     max_iter, tol = cfg.max_iter, cfg.tol
     fb_cap = int(max(min(n // 8, 16384), min(n, 256)))
+    sm_cap = small_fallback_cap(fb_cap, n)
 
     q0 = jax.vmap(transform_points)(init_Ts, sources)
     pos = jax.vmap(lambda q: band_layout(spec, q))(q0)  # (B, n)
@@ -165,15 +176,18 @@ def fused_voxel_align_batched(vm, sources, src_weights, init_Ts, cfg,
             return whitened_stats(ps, qs, tgt, feats, ws, R,
                                   huber_delta=spec.huber_delta)
 
-        def resolve_compact(qb, unb, wb, pb, R):
-            # compacted fallback: re-query only the stragglers
-            n_un = jnp.sum(unb)
-            idxs = jnp.nonzero(unb, size=fb_cap, fill_value=0)[0]
-            live = jnp.arange(fb_cap) < n_un
-            qs = qb[idxs]
-            d, tgt, feats = planar_window_query(spec, vm.dense_blocks, qs)
-            ws = wb[idxs] * live * (d < spec.max_dist)
-            return _sub_stats(pb[idxs], qs, ws, tgt, feats, R)
+        def resolve_compact(cap):
+            def run(qb, unb, wb, pb, R):
+                # compacted fallback: re-query only the stragglers
+                n_un = jnp.sum(unb)
+                idxs = jnp.nonzero(unb, size=cap, fill_value=0)[0]
+                live = jnp.arange(cap) < n_un
+                qs = qb[idxs]
+                d, tgt, feats = planar_window_query(spec, vm.dense_blocks, qs)
+                ws = wb[idxs] * live * (d < spec.max_dist)
+                return _sub_stats(pb[idxs], qs, ws, tgt, feats, R)
+
+            return run
 
         def resolve_full(qb, unb, wb, pb, R):
             # escape hatch for straggler counts beyond the compaction
@@ -192,16 +206,25 @@ def fused_voxel_align_batched(vm, sources, src_weights, init_Ts, cfg,
                 n_inliers=Cb[:, 7, 7] + sub.n_inliers,
             )
 
-        # batch-level tier choice: the predicate is a scalar, so lax.cond
-        # runs ONE branch — the full re-query costs nothing unless some
-        # problem actually overflows its compaction capacity
-        overflow = jnp.any(
-            jnp.sum(unres_b, axis=1) > fb_cap
+        # batch-level tier choice: the predicate is a scalar, so lax.switch
+        # runs ONE branch — in the converged regime the worst problem's
+        # straggler count is tiny, so the cheap small-cap tier carries most
+        # iterations; the full re-query costs nothing unless some problem
+        # actually overflows its compaction capacity
+        max_un = jnp.max(jnp.sum(unres_b, axis=1))
+        tier = (max_un > sm_cap).astype(jnp.int32) + (max_un > fb_cap).astype(
+            jnp.int32
         )
-        return jax.lax.cond(
-            overflow,
-            lambda: add(C, jax.vmap(resolve_full)(q, unres_b.astype(jnp.float32), w_s, src_s, Rs)),
-            lambda: add(C, jax.vmap(resolve_compact)(q, unres_b, w_s, src_s, Rs)),
+        return jax.lax.switch(
+            tier,
+            [
+                lambda: add(C, jax.vmap(resolve_compact(sm_cap))(
+                    q, unres_b, w_s, src_s, Rs)),
+                lambda: add(C, jax.vmap(resolve_compact(fb_cap))(
+                    q, unres_b, w_s, src_s, Rs)),
+                lambda: add(C, jax.vmap(resolve_full)(
+                    q, unres_b.astype(jnp.float32), w_s, src_s, Rs)),
+            ],
         )
 
     return batched_gauss_newton(stats_all, init_Ts, max_iter, tol)

@@ -19,7 +19,10 @@ import jax.numpy as jnp
 
 from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
 from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
-from point_cloud_registration_tpu.models._fused import batched_gauss_newton
+from point_cloud_registration_tpu.models._fused import (
+    batched_gauss_newton,
+    small_fallback_cap as _small_cap_impl,
+)
 from point_cloud_registration_tpu.ops.pallas.point_align import (
     PointFusedSpec,
     build_fused_rows,
@@ -58,6 +61,9 @@ def _fallback_caps(spec: PointFusedSpec, n: int) -> tuple[int, float]:
     fb_cap = int(max(min(n // 8, 16384), min(n, 256)))
     proxy_vs = float(2 * spec.cell)  # a packed block IS a proxy voxel
     return fb_cap, proxy_vs
+
+
+_small_cap = _small_cap_impl  # shared tier sizing (models/_fused.py)
 
 
 def _fallback_stats(target, normals, spec: PointFusedSpec, proxy_vs, qs, ps,
@@ -125,6 +131,8 @@ def fused_point_align(target, normals, source, src_weight, init_T, cfg,
             n_inliers=base.n_inliers + sub.n_inliers,
         )
 
+    sm_cap = _small_cap(fb_cap, n)
+
     def stats_fn(T):
         R, _ = makeRt(T)
         q = transform_points(T, src_s)
@@ -135,17 +143,27 @@ def fused_point_align(target, normals, source, src_weight, init_T, cfg,
         n_un = jnp.sum(unres)
         carry = {"T": T, "stats": base}
 
-        def compact_fallback(s):
-            idxs = jnp.nonzero(unres, size=fb_cap, fill_value=0)[0]
-            live = jnp.arange(fb_cap) < n_un
-            return _resolve(q[idxs], src_s[idxs], w_s[idxs] * live, s)
+        def compact_fallback(cap):
+            def run(s):
+                idxs = jnp.nonzero(unres, size=cap, fill_value=0)[0]
+                live = jnp.arange(cap) < n_un
+                return _resolve(q[idxs], src_s[idxs], w_s[idxs] * live, s)
+
+            return run
 
         def full_fallback(s):
             return _resolve(q, src_s, w_s * unres, s)
 
-        tier = (n_un > 0).astype(jnp.int32) + (n_un > fb_cap).astype(jnp.int32)
+        tier = (
+            (n_un > 0).astype(jnp.int32)
+            + (n_un > sm_cap).astype(jnp.int32)
+            + (n_un > fb_cap).astype(jnp.int32)
+        )
         return jax.lax.switch(
-            tier, [lambda s: s["stats"], compact_fallback, full_fallback], carry
+            tier,
+            [lambda s: s["stats"], compact_fallback(sm_cap),
+             compact_fallback(fb_cap), full_fallback],
+            carry,
         )
 
     return gauss_newton(stats_fn, init_T, cfg.max_iter, cfg.tol)
@@ -174,6 +192,7 @@ def fused_point_align_batched(target, normals, sources, src_weights, init_Ts,
     n_cap = padded_point_capacity(spec, n)
     tiles_pp = n_cap // tq
     fb_cap, proxy_vs = _fallback_caps(spec, n)
+    sm_cap = _small_cap(fb_cap, n)
 
     q0 = jax.vmap(transform_points)(init_Ts, sources)
     pos = jax.vmap(lambda q: morton_layout(spec, q))(q0)  # (B, n)
@@ -208,11 +227,14 @@ def fused_point_align_batched(target, normals, sources, src_weights, init_Ts,
             return _fallback_stats(target, normals, spec, proxy_vs, qs, ps,
                                    ws, R, fixed_tiers=True)
 
-        def resolve_compact(qb, unb, wb, pb, R):
-            n_un = jnp.sum(unb)
-            idxs = jnp.nonzero(unb, size=fb_cap, fill_value=0)[0]
-            live = jnp.arange(fb_cap) < n_un
-            return _sub_stats(qb[idxs], pb[idxs], wb[idxs] * live, R)
+        def resolve_compact(cap):
+            def run(qb, unb, wb, pb, R):
+                n_un = jnp.sum(unb)
+                idxs = jnp.nonzero(unb, size=cap, fill_value=0)[0]
+                live = jnp.arange(cap) < n_un
+                return _sub_stats(qb[idxs], pb[idxs], wb[idxs] * live, R)
+
+            return run
 
         def resolve_full(qb, unb, wb, pb, R):
             return _sub_stats(qb, pb, wb * unb, R)
@@ -225,12 +247,20 @@ def fused_point_align_batched(target, normals, sources, src_weights, init_Ts,
                 n_inliers=Cb[:, 7, 7] + sub.n_inliers,
             )
 
-        overflow = jnp.any(jnp.sum(unres_b, axis=1) > fb_cap)
-        return jax.lax.cond(
-            overflow,
-            lambda: add(C, jax.vmap(resolve_full)(
-                q, unres_b.astype(jnp.float32), w_s, src_s, Rs)),
-            lambda: add(C, jax.vmap(resolve_compact)(q, unres_b, w_s, src_s, Rs)),
+        max_un = jnp.max(jnp.sum(unres_b, axis=1))
+        tier = (max_un > sm_cap).astype(jnp.int32) + (max_un > fb_cap).astype(
+            jnp.int32
+        )
+        return jax.lax.switch(
+            tier,
+            [
+                lambda: add(C, jax.vmap(resolve_compact(sm_cap))(
+                    q, unres_b, w_s, src_s, Rs)),
+                lambda: add(C, jax.vmap(resolve_compact(fb_cap))(
+                    q, unres_b, w_s, src_s, Rs)),
+                lambda: add(C, jax.vmap(resolve_full)(
+                    q, unres_b.astype(jnp.float32), w_s, src_s, Rs)),
+            ],
         )
 
     return batched_gauss_newton(stats_all, init_Ts, cfg.max_iter, cfg.tol)

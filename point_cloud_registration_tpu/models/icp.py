@@ -81,16 +81,17 @@ class ICP(Registration):
 
     def set_target(self, target) -> None:
         self._target = build_icp_target(target, self.cfg)
-        # radius 2 doubles the kernel's provable-exactness radius to
-        # 2 * cell_fine (= max_dist / 2) so early iterations at realistic
-        # initial offsets resolve in-kernel; tq 128 / cb 512 because a
-        # SUBSAMPLED scan's Morton tiles are spatially huge — p99 distinct
-        # blocks per 128-query tile is ~490 on the B-01 protocol, and a
-        # key-list overflow floods the XLA fallback tiers every iteration
-        # (the round-3 regression: 98% of tiles overflowed at tq512/cb256)
+        # tq 128 / cb 512 because a SUBSAMPLED scan's Morton tiles are
+        # spatially huge — p99 distinct blocks per 128-query tile is ~490 on
+        # the B-01 protocol, and a key-list overflow floods the XLA fallback
+        # tiers every iteration (the round-3 regression: 98% of tiles
+        # overflowed at tq512/cb256). radius 1 keeps the in-kernel exactness
+        # radius at cell_fine (= max_dist / 4); beyond-radius queries resolve
+        # on the exact compacted fallback, which the hardware sweep measured
+        # at 4.6e-4 of the scan (r4 sweep: r1/tq128/cb512 152ms vs r2 170ms)
         self._spec = point_fused_spec(
             self._target.packed, "point", self.cfg.max_dist,
-            self.cfg.huber_delta, tq=128, cb=512, radius=2,
+            self.cfg.huber_delta, tq=128, cb=512, radius=1,
         )
         self._frows = target_fused_rows(self._spec, self._target.packed)
 

@@ -118,13 +118,13 @@ class PlaneICP(Registration):
         del kdree
         self._target = build_plane_icp_target(target, self.cfg, normals=norm)
         self.normal = self._target.normals  # attribute parity (plane_icp.py:23)
-        # radius 2 / tq 128 / cb 512: same fallback-flood fix as
+        # radius 1 / tq 128 / cb 512: same hardware-swept winner as
         # ICP.set_target (models/icp.py) — subsampled-scan tiles need the
-        # deep key lists, and exactness to 2 * cell_fine keeps the XLA
-        # tiers compacted
+        # deep key lists; beyond-cell_fine queries ride the exact compacted
+        # fallback (~5e-4 of the scan on the B-01 protocol)
         self._spec = point_fused_spec(
             self._target.corr.packed, "plane_pt", self.cfg.max_dist,
-            self.cfg.huber_delta, tq=128, cb=512, radius=2,
+            self.cfg.huber_delta, tq=128, cb=512, radius=1,
         )
         self._frows = target_fused_rows(self._spec, self._target.corr.packed)
 

@@ -32,10 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from point_cloud_registration_tpu.ops.hashgrid import _bbox_cells, cell_coords
+from point_cloud_registration_tpu.ops.hashgrid import cell_coords
 
 _BIG = np.float32(np.inf)  # numpy scalar: no backend init at import
 _BLOCK = 2  # fine cells per block edge
+# transient HBM allowance for the pack's phase-shifted source copies
+# (N * 512 B); clouds beyond it take the row-scatter path
+_PACK_GATHER_BUDGET = 2 << 30
 
 
 class PackedPointGrid(NamedTuple):
@@ -78,8 +81,9 @@ class PointNN(NamedTuple):
 
 def build_packed_grid(points, cell_fine: float, cap: int = 32,
                       auto_cap: bool = False) -> PackedPointGrid:
-    """Build the packed tables. Host syncs: bounding box + occupied-block
-    count (two tiny transfers); the heavy sort/pack is one jitted program.
+    """Build the packed tables. Host syncs: ONE tiny meta transfer (bbox +
+    dims + occupied-block count ride one vector); the heavy sort/pack is one
+    jitted program on each side of it.
 
     ``auto_cap``: treat ``cap`` as the base tier and escalate it (2x / 3x)
     when more than 1% of points would be truncated at the current tier —
@@ -87,27 +91,25 @@ def build_packed_grid(points, cell_fine: float, cap: int = 32,
     costs nothing extra. Volumetric clouds (vegetation clumps, dense
     clusters) keep their exactness guarantees this way while surface-like
     LiDAR stays at the cheap base tier."""
+    if points.shape[0] == 0:
+        raise ValueError("empty point cloud: at least one point is required")
     points = jnp.asarray(points, jnp.float32)
-    lo_cell, hi_cell = _bbox_cells(points, cell_fine)
-    lo_cell = (lo_cell // _BLOCK) * _BLOCK  # align blocks to absolute 2*cell_fine cells
-    dims_f = hi_cell - lo_cell + 1
-    nb_dims = tuple(int(-(-d // _BLOCK)) for d in dims_f)
-    nb_total = int(np.prod(nb_dims))
-    if nb_total >= np.iinfo(np.int32).max:
-        raise ValueError("block grid exceeds int32 keyspace; increase cell_fine")
-
-    skey, spts, sidx, n_occ_dev = _keys_sort_count(
-        points, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine), nb_dims,
+    skey, spts, sidx, meta_dev = _keys_sort_count(
+        points, jnp.float32(cell_fine),
         overflow_caps=(cap, 2 * cap) if auto_cap else None,
     )
+    meta = np.asarray(jax.device_get(meta_dev))
+    lo_cell, nb_dims, n_occ = meta[:3], tuple(int(d) for d in meta[3:6]), int(meta[6])
+    nb_total = nb_dims[0] * nb_dims[1] * nb_dims[2]  # Python ints: no wrap
+    if nb_total >= np.iinfo(np.int32).max:
+        # the traced keys already wrapped inside the sort program, so no
+        # result derived from them may escape — raising here guarantees that
+        raise ValueError("block grid exceeds int32 keyspace; increase cell_fine")
     if auto_cap:
-        n_occ_dev, over1, over2 = n_occ_dev
-        n_occ, o1, o2 = (int(x) for x in jax.device_get((n_occ_dev, over1, over2)))
+        o1, o2 = int(meta[7]), int(meta[8])
         thresh = max(1, points.shape[0] // 100)
         if o1 > thresh:
             cap = 2 * cap if o2 <= thresh else 3 * cap
-    else:
-        n_occ = int(jax.device_get(n_occ_dev))
     r_cap = 1 << max(0, (n_occ - 1).bit_length())
 
     pg = _pack(skey, spts, sidx, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine),
@@ -121,25 +123,19 @@ def build_packed_grid(points, cell_fine: float, cap: int = 32,
     )
 
 
-@partial(jax.jit, static_argnames=("nb_dims",))
-def _block_keys(points, origin_fine, cell_fine, nb_dims):
-    fine = cell_coords(points, cell_fine) - origin_fine
-    b = fine // _BLOCK
-    # f32/f64 boundary guard (see voxelize._build_voxel_map_dense): a point
-    # whose device-side cell lands one past the host-side bbox must not wrap
-    # into a wrong block-row slot. Route it to key == nb_total, which sorts
-    # last and is dropped by every scatter in _pack.
-    in_range = jnp.all((b >= 0) & (b < jnp.asarray(nb_dims, jnp.int32)), axis=-1)
-    key = b[:, 0] + nb_dims[0] * (b[:, 1] + nb_dims[1] * b[:, 2])
-    return jnp.where(in_range, key, jnp.int32(int(np.prod(nb_dims))))
+@partial(jax.jit, static_argnames=("overflow_caps",))
+def _keys_sort_count(points, cell_fine, feats=None, overflow_caps=None):
+    """Bounding box + keys + sort + occupied count as ONE program: in
+    degraded remote-tunnel periods even pipelined dispatches serialize, so
+    the pre-sync half of the build is a single round trip, and everything
+    the host needs (bbox cells, grid dims, counts) travels back in ONE tiny
+    ``meta`` vector -> one combined device_get instead of a bbox sync plus a
+    count sync.
 
-
-@partial(jax.jit, static_argnames=("nb_dims", "overflow_caps"))
-def _keys_sort_count(points, origin_fine, cell_fine, nb_dims, feats=None,
-                     overflow_caps=None):
-    """Keys + sort + occupied count as ONE program: in degraded
-    remote-tunnel periods even pipelined dispatches serialize, so the
-    pre-sync half of the build is a single round trip.
+    The bbox is reduced in CELL space (min/max of the int32 fine-cell
+    coordinates), so by construction every point's key is in range — no
+    f32-vs-f64 one-past boundary case exists on this path (cf. the host
+    ``_bbox_cells`` guard).
 
     Multi-operand ``lax.sort`` carries the coordinates (+ features + the
     original index) WITH the key — TPU gathers are row-bound, so sorting
@@ -147,9 +143,17 @@ def _keys_sort_count(points, origin_fine, cell_fine, nb_dims, feats=None,
     ``points[order]`` row gathers (same trick as the voxel-map build,
     ops/voxelize._build_voxel_map_dense).
 
-    Returns ``(skey, spts (N, 3+F), sidx, n_occ)`` in key-sorted order.
+    Returns ``(skey, spts (N, 3+F), sidx, meta)`` in key-sorted order,
+    where ``meta`` (i32) = [lo_block*2 (3), n_blocks (3), n_occ,
+    *overflow_counts] — ``lo`` is pre-aligned to the 2-cell block grid.
     """
-    bkeys = _block_keys(points, origin_fine, cell_fine, nb_dims)
+    fine = cell_coords(points, cell_fine)  # (N, 3) i32
+    lo_f = jnp.min(fine, axis=0)
+    hi_f = jnp.max(fine, axis=0)
+    lo_f = jnp.floor_divide(lo_f, _BLOCK) * _BLOCK  # block-align (even cells)
+    nb = jnp.floor_divide(hi_f - lo_f, _BLOCK) + 1  # (3,) block-grid dims
+    b = jnp.floor_divide(fine - lo_f, _BLOCK)
+    bkeys = b[:, 0] + nb[0] * (b[:, 1] + nb[1] * b[:, 2])
     n = points.shape[0]
     if feats is not None:
         points = jnp.concatenate([points, jnp.asarray(feats, jnp.float32)], axis=1)
@@ -164,6 +168,7 @@ def _keys_sort_count(points, origin_fine, cell_fine, nb_dims, feats=None,
     spts = jnp.stack(sorted_ops[1 : 1 + w], axis=-1)
     sidx = sorted_ops[1 + w]
     n_occ = jnp.sum(skey[1:] != skey[:-1]) + 1
+    meta = [lo_f, nb, n_occ[None]]
     if overflow_caps is not None:
         # per-point within-block rank -> truncated-point counts per cap tier
         arange = jnp.arange(n, dtype=jnp.int32)
@@ -172,9 +177,8 @@ def _keys_sort_count(points, origin_fine, cell_fine, nb_dims, feats=None,
             jnp.maximum, jnp.where(new_block, arange, 0)
         )
         rank = arange - seg_start
-        overs = tuple(jnp.sum(rank >= c) for c in overflow_caps)
-        return skey, spts, sidx, (n_occ,) + overs
-    return skey, spts, sidx, n_occ
+        meta.append(jnp.stack([jnp.sum(rank >= c) for c in overflow_caps]))
+    return skey, spts, sidx, jnp.concatenate(meta)
 
 
 @partial(jax.jit, static_argnames=("nb_dims", "r_cap", "cap"))
@@ -204,29 +208,69 @@ def _pack(skeys, spts, sidx, origin_fine, cell_fine, *, nb_dims, r_cap, cap):
         jnp.where(live_row, key_at, jnp.int32(nb_total))
     ].set(jnp.arange(r_cap + 1, dtype=jnp.int32), mode="drop")
 
-    # ONE fused (N, w+1)-row scatter carrying coordinates AND the original
-    # index (bitcast to f32): TPU scatter cost is per ROW (~0.13 us,
-    # width-independent — measured; slice-gather reformulations lose 2-3x),
-    # so folding the index column halves the scatter bill vs two scatters.
+    # The rows carry coordinates AND the original index (bitcast to f32).
     # The index bits are biased by 0x40000000 (floats in [2, 4)) BEFORE the
     # bitcast: a raw small index bitcasts to a DENORMAL f32, and the TPU
-    # scatter pipeline flushes denormals to zero at bench scale (measured:
-    # idx_packed came back all-zero on hardware while tiny shapes and CPU
-    # preserved bits).
-    arange = jnp.arange(n, dtype=jnp.int32)
-    row = jnp.cumsum(new_block).astype(jnp.int32) - 1
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(new_block, arange, 0)
-    )
-    rank = arange - seg_start
-    keep = rank < cap
-    slot = jnp.where(keep, row * cap + rank, jnp.int32((r_cap + 1) * cap))
+    # data-movement pipeline flushes denormals to zero at bench scale
+    # (measured: idx_packed came back all-zero on hardware while tiny
+    # shapes and CPU preserved bits).
     idx_bits = jax.lax.bitcast_convert_type(
         sidx | jnp.int32(0x40000000), jnp.float32
     )
     src = jnp.concatenate([spts, idx_bits[:, None]], axis=1)
-    packed = jnp.full(((r_cap + 1) * cap, w + 1), jnp.inf, jnp.float32)
-    packed = packed.at[slot].set(src, mode="drop").reshape(r_cap + 1, cap, w + 1)
+    w1 = w + 1
+    # Placement: block b's points are CONTIGUOUS in the sorted array, so
+    # packed row r is the (cap, w1) window of ``src`` at ``starts[r]``.
+    # TPU row ops are row-count-bound and gathers are ~4.5x cheaper per row
+    # than scatters (hardware-measured: 1.2M-row gather 31 ms vs same-count
+    # scatter 142 ms), so instead of an N-row slot scatter we materialize
+    # every 128-lane-aligned phase shift of the flat source (PH copies of
+    # g bytes-per-slot each — N * 512 B total regardless of g) and fetch
+    # each packed row with ONE wide row gather: 142 ms -> 42 ms at bench
+    # scale, bit-identical output.
+    g = 1 << max(0, (w1 - 1).bit_length())  # slot stride: pow2 -> divides 128
+    if g <= 128 and n * 512 <= _PACK_GATHER_BUDGET:
+        if g != w1:
+            src = jnp.concatenate(
+                [src, jnp.full((n, g - w1), jnp.inf, jnp.float32)], axis=1
+            )
+        PH = 128 // g
+        H = -(-(cap * g) // 128)  # 128-lane chunks per packed row
+        M = ((n + cap) * g) // 128 + H + 1
+        flat = jnp.concatenate(
+            [src.reshape(-1),
+             jnp.full(((M + 1) * 128 - n * g,), jnp.inf, jnp.float32)]
+        )
+        stack = jnp.stack(
+            [jax.lax.dynamic_slice(flat, (p * g,), (M * 128,)).reshape(M, 128)
+             for p in range(PH)]
+        ).reshape(PH * M, 128)
+        off = starts * g
+        rowi = off // 128
+        phase = (off % 128) // g
+        chunks = [stack[phase * M + rowi + h] for h in range(H)]
+        rows = chunks[0] if H == 1 else jnp.concatenate(chunks, axis=1)
+        packed = rows[:, : cap * g].reshape(r_cap + 1, cap, g)[..., :w1]
+        ok = (
+            jnp.arange(cap, dtype=jnp.int32)[None, :]
+            < jnp.minimum(sizes, cap)[:, None]
+        )
+        packed = jnp.where(ok[..., None], packed, jnp.inf)
+    else:
+        # row-scatter fallback for very large clouds (the phase copies cost
+        # N * 512 B of transient HBM) or very wide feature rows
+        arange = jnp.arange(n, dtype=jnp.int32)
+        row = jnp.cumsum(new_block).astype(jnp.int32) - 1
+        seg_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(new_block, arange, 0)
+        )
+        rank = arange - seg_start
+        keep = rank < cap
+        slot = jnp.where(keep, row * cap + rank, jnp.int32((r_cap + 1) * cap))
+        packed = jnp.full(((r_cap + 1) * cap, w1), jnp.inf, jnp.float32)
+        packed = packed.at[slot].set(src, mode="drop").reshape(
+            r_cap + 1, cap, w1
+        )
     pts_rows = packed[..., :w]
     idx_f = packed[..., w]
     idx_rows = jnp.where(
@@ -326,24 +370,23 @@ def build_packed_grid_and_proxy(points, cell_fine: float, cap: int,
                                 *, min_points: int, with_normals: bool,
                                 feats=None):
     """Packed tables + coarse proxy voxel map in TWO programs + ONE sync
-    (keys/sort/count, then pack+proxy fused — degraded remote-tunnel periods
-    serialize even pipelined dispatches, so program count matters there).
+    (bbox/keys/sort/count with a single meta transfer, then pack+proxy
+    fused — degraded remote-tunnel periods serialize even pipelined
+    dispatches, so program AND sync count both matter there).
     """
     from point_cloud_registration_tpu.ops.knn import DENSE_BLOCK
 
-    lo_cell, hi_cell = _bbox_cells(points, cell_fine)  # NumPy input: no sync
+    if points.shape[0] == 0:
+        raise ValueError("empty point cloud: at least one point is required")
     points = jnp.asarray(points, jnp.float32)
-    lo_cell = (lo_cell // _BLOCK) * _BLOCK
-    dims_f = hi_cell - lo_cell + 1
-    nb_dims = tuple(int(-(-d // _BLOCK)) for d in dims_f)
-    nb_total = int(np.prod(nb_dims))
+    skey, spts, sidx, meta_dev = _keys_sort_count(
+        points, jnp.float32(cell_fine), feats=feats,
+    )
+    meta = np.asarray(jax.device_get(meta_dev))
+    lo_cell, nb_dims, n_occ = meta[:3], tuple(int(d) for d in meta[3:6]), int(meta[6])
+    nb_total = nb_dims[0] * nb_dims[1] * nb_dims[2]  # Python ints: no wrap
     if nb_total >= np.iinfo(np.int32).max:
         raise ValueError("block grid exceeds int32 keyspace; increase cell_fine")
-    skey, spts, sidx, n_occ_dev = _keys_sort_count(
-        points, jnp.asarray(lo_cell, jnp.int32), jnp.float32(cell_fine), nb_dims,
-        feats=feats,
-    )
-    n_occ = int(jax.device_get(n_occ_dev))
     r_cap = 1 << max(0, (n_occ - 1).bit_length())
     nb2 = tuple(-(-d // b) for d, b in zip(nb_dims, DENSE_BLOCK))
     pg, proxy = _pack_with_proxy(

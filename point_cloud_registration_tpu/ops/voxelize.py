@@ -692,22 +692,83 @@ def _outer6(v: jax.Array) -> jax.Array:
     )
 
 
-def voxel_filter(points, voxel_size: float) -> np.ndarray:
-    """Voxel downsampling: per-voxel centroid, float32 (voxel.py:209-241).
+@partial(jax.jit, static_argnames=("dims_static", "capacity"))
+def _voxel_filter_dense(points, origin_cell, cell_size, *, dims_static,
+                        capacity):
+    """Sort-free downsampling: ONE fused (N, 4)-row scatter-add of
+    ``[x - corner, ..., 1]`` into dense cell rows, then an on-device
+    compaction of the occupied cells. Centroids accumulate cell-relative
+    (f32-stable far from the origin, same policy as the map builds)."""
+    nx, ny, nz = dims_static
+    d_total = nx * ny * nz
+    coords = cell_coords(points, cell_size)
+    rel = coords - origin_cell
+    in_range = jnp.all(
+        (rel >= 0) & (rel < jnp.asarray(dims_static, jnp.int32)), axis=-1
+    )
+    key = rel[:, 0] + nx * (rel[:, 1] + ny * rel[:, 2])
+    key = jnp.where(in_range, key, d_total)
+    corner = coords.astype(jnp.float32) * cell_size
+    src = jnp.concatenate(
+        [points - corner, jnp.ones((points.shape[0], 1), jnp.float32)], axis=1
+    )
+    acc = jnp.zeros((d_total + 1, 4), jnp.float32).at[key].add(src, mode="drop")
+    counts = acc[:d_total, 3]
+    # corner of each dense cell, reconstructed from its linear key
+    ci = jnp.arange(d_total, dtype=jnp.int32)
+    cx = ci % nx
+    rem = ci // nx
+    cell_corner = (
+        jnp.stack([cx, rem % ny, rem // ny], axis=-1) + origin_cell
+    ).astype(jnp.float32) * cell_size
+    means = acc[:d_total, :3] / jnp.maximum(counts, 1.0)[:, None] + cell_corner
+    occ = counts > 0
+    n_cells = jnp.sum(occ).astype(jnp.int32)
+    idx = jnp.nonzero(occ, size=capacity, fill_value=d_total)[0]
+    live = jnp.arange(capacity) < n_cells
+    out = jnp.where(
+        live[:, None], means[jnp.minimum(idx, d_total - 1)], jnp.inf
+    )
+    return out, n_cells
 
-    Output content matches the reference exactly; ordering differs (reference
-    orders by its modular hash, we order by bounding-box key — both are
-    implementation details of ``unique``).
+
+def voxel_filter_device(points, voxel_size: float):
+    """Device-resident voxel downsampling: ``(means (C, 3) f32, n_cells)``.
+
+    Rows past ``n_cells`` are +inf padding; nothing crosses to the host
+    (feed the result straight into ``set_target``/coreset pipelines). The
+    dense-direct build is sort-free — one fused scatter-add + compaction.
     """
+    lo_cell, hi_cell = _bbox_cells(points, voxel_size)
     points = jnp.asarray(points, dtype=jnp.float32)
+    total_cells = int(np.prod(hi_cell - lo_cell + 1))
+    if total_cells <= DENSE_CELL_BUDGET:
+        dims = tuple(int(x) for x in (hi_cell - lo_cell + 1))
+        capacity = 1 << max(0, int(min(points.shape[0], total_cells) - 1).bit_length())
+        return _voxel_filter_dense(
+            points, jnp.asarray(lo_cell, jnp.int32), jnp.float32(voxel_size),
+            dims_static=dims, capacity=capacity,
+        )
     grid, inverse, _ = build_grid(points, voxel_size)
     corner = cell_coords(points, grid.cell_size).astype(jnp.float32) * grid.cell_size
     capacity = grid.keys.shape[0]
     counts, means, _ = _segment_stats_jit(
         points, inverse, capacity, corner, _slot_corners(grid), with_covs=False
     )
-    # one combined sync (each device_get is a full tunnel roundtrip)
-    n_cells, means_np = jax.device_get((grid.n_cells, means))
+    live = jnp.arange(capacity) < grid.n_cells
+    return jnp.where(live[:, None], means, jnp.inf), grid.n_cells
+
+
+def voxel_filter(points, voxel_size: float) -> np.ndarray:
+    """Voxel downsampling: per-voxel centroid, float32 (voxel.py:209-241).
+
+    Output content matches the reference exactly; ordering differs (reference
+    orders by its modular hash, we order by bounding-box key — both are
+    implementation details of ``unique``). One combined device_get (count +
+    compacted rows) is the only host crossing.
+    """
+    means, n_cells = voxel_filter_device(points, voxel_size)
+    n_cells, means_np = jax.device_get((n_cells, means))
     return np.asarray(means_np)[: int(n_cells)].astype(np.float32)
 
 

@@ -125,3 +125,24 @@ def test_packed_plane_icp_converges(scene):
     T_est = picp.align(scan)
     residual = T_est @ T_true - np.eye(4)
     assert np.abs(residual).max() < 0.02, residual
+
+
+def test_pack_gather_and_scatter_paths_identical(scene):
+    """The phase-shifted-gather pack and the row-scatter fallback must
+    produce bit-identical tables (the gather path is a pure reformulation
+    of the placement, selected statically by cloud size)."""
+    import point_cloud_registration_tpu.ops.pointgrid as PGM
+
+    pg_gather = build_packed_grid(scene, cell_fine=0.5, cap=8)
+    orig = PGM._PACK_GATHER_BUDGET
+    try:
+        PGM._PACK_GATHER_BUDGET = 0  # force the scatter branch ...
+        jax.clear_caches()  # ... and drop the cached gather-path trace
+        pg_scatter = build_packed_grid(scene, cell_fine=0.5, cap=8)
+    finally:
+        PGM._PACK_GATHER_BUDGET = orig
+        jax.clear_caches()
+    for a, b in zip(pg_gather, pg_scatter):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))
+        )

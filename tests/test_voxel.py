@@ -210,3 +210,35 @@ def test_dense_blocks_transpose_matches_scatter(cloud):
     np.testing.assert_array_equal(
         np.asarray(jax.device_get(scatter)), np.asarray(jax.device_get(transpose))
     )
+
+
+def test_voxel_filter_device_matches_host(cloud):
+    """Device-resident variant: +inf-padded rows, count, content parity."""
+    import jax.numpy as jnp
+
+    vs = 0.8
+    host = voxelize.voxel_filter(cloud, vs)
+    means, n = voxelize.voxel_filter_device(cloud, vs)
+    n = int(jax.device_get(n))
+    means = np.asarray(jax.device_get(means))
+    assert n == len(host)
+    assert not np.isfinite(means[n:]).any()
+    a = host[np.lexsort(host.T)]
+    b = means[:n][np.lexsort(means[:n].T)]
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # sparse-branch parity: shrink the dense budget so the same cloud takes
+    # the grid/sort path, results must agree
+    import point_cloud_registration_tpu.ops.voxelize as vx
+
+    orig = vx.DENSE_CELL_BUDGET
+    try:
+        vx.DENSE_CELL_BUDGET = 1
+        means2, n2 = voxelize.voxel_filter_device(cloud, vs)
+    finally:
+        vx.DENSE_CELL_BUDGET = orig
+    n2 = int(jax.device_get(n2))
+    means2 = np.asarray(jax.device_get(means2))
+    assert n2 == n
+    c = means2[:n2][np.lexsort(means2[:n2].T)]
+    np.testing.assert_allclose(a, c, atol=1e-5)
