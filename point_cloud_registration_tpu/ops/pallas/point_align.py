@@ -150,7 +150,7 @@ class PointFusedSpec:
 
 def point_fused_spec(pg, kind: str, max_dist: float,
                      huber_delta: float | None = None,
-                     tq: int = 512, cb: int = 256,
+                     tq: int = 128, cb: int = 512,
                      unroll: bool = True,
                      radius: int = 1) -> PointFusedSpec | None:
     """Spec for a :class:`ops.pointgrid.PackedPointGrid` target.
@@ -158,6 +158,11 @@ def point_fused_spec(pg, kind: str, max_dist: float,
     Host-side only (the packed grid stores its geometry as NumPy). Returns
     None when the grid cannot support the kind (missing normals columns) or
     exceeds the key space.
+
+    Defaults are the hardware-swept winner on the B-01 protocol (r4 sweep):
+    a SUBSAMPLED scan's Morton tiles are spatially huge, so the per-tile
+    key lists need cb=512 depth — tq512/cb256 overflowed 98% of tiles and
+    flooded the fallback every iteration (the round-3 ICP regression).
     """
     if pg is None:
         return None

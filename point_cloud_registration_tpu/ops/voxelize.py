@@ -280,6 +280,8 @@ def build_voxel_map(
     maps only). One bounding-box host sync; the rest is a single jitted
     program.
     """
+    if rich == "sqrt_icov" and not with_icov:
+        raise ValueError("rich='sqrt_icov' requires with_icov=True")
     # bbox on the raw input: NumPy inputs never touch the device for it
     lo_cell, hi_cell = _bbox_cells(points, voxel_size)
     points = jnp.asarray(points, dtype=jnp.float32)
@@ -288,6 +290,8 @@ def build_voxel_map(
         # Dense-direct build: voxel slot == linear cell key, so the
         # sort-based ``unique`` (the costliest part of set_target) disappears
         # entirely — points segment-reduce straight into dense cell rows.
+        # The blocked query table (+ rich per-cell features) is fused into
+        # the SAME program: stats + blocks in one dispatch.
         dims = tuple(int(x) for x in (hi_cell - lo_cell + 1))
         vm = _build_voxel_map_dense(
             points,
@@ -297,16 +301,21 @@ def build_voxel_map(
             min_points=min_points,
             with_icov=with_icov,
             with_normals=with_normals or with_icov,
+            rich=rich,
+            with_blocks=True,
         )
         # Grid geometry is host-known: store it as NumPy so downstream
         # device_gets (fused-spec construction, update_voxel_map) are free.
-        vm = vm._replace(grid=vm.grid._replace(
-            origin_cell=np.asarray(lo_cell, np.int32),
-            cell_size=np.float32(voxel_size),
-            dims=np.asarray(dims, np.int32),
-        ))
-        grid = vm.grid
-        identity_slots = True
+        nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
+        vm = vm._replace(
+            grid=vm.grid._replace(
+                origin_cell=np.asarray(lo_cell, np.int32),
+                cell_size=np.float32(voxel_size),
+                dims=np.asarray(dims, np.int32),
+            ),
+            nb_dims=np.asarray(nb, np.int32),
+        )
+        return vm
     else:
         grid, inverse, _ = build_grid(points, voxel_size, capacity=capacity)
         vm = _finish_voxel_map(
@@ -314,26 +323,18 @@ def build_voxel_map(
         )
         vm = vm._replace(grid=grid)  # keep build_grid's host-NumPy geometry
         dims = tuple(int(x) for x in np.asarray(grid.dims))
-        identity_slots = False
     if grid.dense is not None:
         # blocked table needs static block-grid dims (host ints)
         nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
         if rich == "normals":
             feats = vm.normals
         elif rich == "sqrt_icov":
-            if vm.icovs is None:
-                raise ValueError("rich='sqrt_icov' requires with_icov=True")
             feats = sqrt_icov_u6(vm.icovs)
         elif rich is None:
             feats = None
         else:
             raise ValueError(f"unknown rich kind {rich!r}")
-        if identity_slots:
-            # dense-direct: the table is a pure permutation of the per-cell
-            # arrays — one fused transpose copy, no row-bound scatters
-            blocks = _dense_blocks_jit(vm.means, vm.valid, dims, nb, feats)
-        else:
-            blocks = _build_blocks_jit(grid, vm.means, vm.valid, nb, feats)
+        blocks = _build_blocks_jit(grid, vm.means, vm.valid, nb, feats)
         vm = vm._replace(dense_blocks=blocks, nb_dims=np.asarray(nb, np.int32))
     return vm
 
@@ -357,8 +358,12 @@ def sqrt_icov_u6(icovs: jax.Array) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("dims_static", "min_points", "with_icov", "with_normals"))
-def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_points, with_icov, with_normals=True):
+@partial(jax.jit, static_argnames=(
+    "dims_static", "min_points", "with_icov", "with_normals", "rich",
+    "with_blocks"))
+def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static,
+                           min_points, with_icov, with_normals=True,
+                           rich=None, with_blocks=False):
     nx, ny, nz = dims_static
     d_total = nx * ny * nz
     coords = cell_coords(points, cell_size)
@@ -453,6 +458,24 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_p
         n_cells=jnp.sum(counts > 0).astype(jnp.int32),
         dense=identity,
     )
+    # Blocked query table fused into the SAME program (one dispatch, and
+    # XLA overlaps the permutation writes with the stats pipeline) — the
+    # separate-blocks route cost a full extra program round trip per build.
+    dense_blocks = None
+    nb = None
+    if with_blocks:
+        nb = tuple(-(-d // b) for d, b in zip(dims_static, DENSE_BLOCK))
+        if rich == "normals":
+            feats = normals
+        elif rich == "sqrt_icov":
+            feats = sqrt_icov_u6(icovs)
+        elif rich is None:
+            feats = None
+        else:
+            raise ValueError(f"unknown rich kind {rich!r}")
+        dense_blocks = dense_blocks_from_dense(
+            means, valid, dims_static, nb, feats
+        )
     return VoxelMap(
         grid=grid,
         means=means,
@@ -461,7 +484,9 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static, min_p
         counts=counts,
         valid=valid,
         icovs=icovs,
-        dense_blocks=None,
+        dense_blocks=dense_blocks,
+        # nb_dims stays host-NumPy: the caller sets it (jit outputs would
+        # land it on device and re-cost a sync per spec construction)
         nb_dims=None,
     )
 

@@ -196,7 +196,11 @@ def test_overflow_miss_excluded_from_stats(scene):
     pts, scan = scene
     cfg = ICPConfig(corr=PACKED)
     target = build_icp_target(pts, cfg)
-    spec = point_fused_spec(target.packed, "point", cfg.max_dist, cb=128)
+    # tq=512 pinned: big tiles hold >128 distinct window keys on this scene,
+    # which is what forces the cb=128 overflow this test needs (the swept
+    # production default tq=128 deliberately avoids it)
+    spec = point_fused_spec(target.packed, "point", cfg.max_dist,
+                            tq=512, cb=128)
     T = jnp.eye(4, dtype=jnp.float32)
     q_s, src_s, w_s, keys, tab = _tiled(spec, target, scan, T)
     R, _ = makeRt(T)
