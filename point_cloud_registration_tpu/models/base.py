@@ -72,6 +72,29 @@ class Registration:
     def _stats_fn(self, target, source, src_weight, T):
         raise NotImplementedError
 
+    # --- deferred target validity (geometry-hinted builds) ---------------
+    # Solvers whose set_target uses ops.voxelize.build_voxel_map_deferred
+    # stash the device n_dropped scalar in ``self._pending_drop``; it rides
+    # the next host sync for free. Nonzero means the hinted region
+    # under-covered the cloud: ``_rebuild_target_exact`` (subclass hook)
+    # rebuilds with a fresh bbox and the operation transparently re-runs,
+    # so no caller can ever observe a clipped map.
+
+    _pending_drop = None
+
+    def _rebuild_target_exact(self) -> None:
+        raise NotImplementedError
+
+    def _verify_target(self) -> None:
+        """Force the deferred check NOW (one sync) — for consumers that
+        read the target outside align/calc_H_g_e2 (``voxels`` property,
+        ``update_target``)."""
+        pending = self._pending_drop
+        if pending is not None:
+            self._pending_drop = None
+            if int(jax.device_get(pending)) > 0:
+                self._rebuild_target_exact()
+
     def align(self, source, init_T=None, verbose: bool = False) -> np.ndarray:
         """Gauss-Newton alignment; returns the (4, 4) transform as NumPy.
 
@@ -85,9 +108,24 @@ class Registration:
             init_T = np.eye(4)
         src, w = pad_points(source)
         result = self._align_fn(self._target, src, w, jnp.asarray(init_T, jnp.float32))
-        # ONE host sync for transform + diagnostics (each device_get is a
-        # full tunnel roundtrip on remote-attached TPUs).
-        T_np, self.last_diagnostics = jax.device_get((result.T, result.diagnostics))
+        # ONE host sync for transform + diagnostics + the deferred target
+        # check (each device_get is a full tunnel roundtrip on
+        # remote-attached TPUs).
+        pending = self._pending_drop
+        if pending is not None:
+            self._pending_drop = None
+            T_np, self.last_diagnostics, nd = jax.device_get(
+                (result.T, result.diagnostics, pending)
+            )
+            if int(nd) > 0:
+                # hinted region under-covered the cloud: rebuild exactly
+                # and redo — the clipped result must never escape
+                self._rebuild_target_exact()
+                return self.align(source, init_T, verbose)
+        else:
+            T_np, self.last_diagnostics = jax.device_get(
+                (result.T, result.diagnostics)
+            )
         if verbose:
             d = self.last_diagnostics
             for i in range(int(d.iterations)):
@@ -104,5 +142,13 @@ class Registration:
             raise ValueError("Target is not set.")
         src, w = pad_points(source)
         stats = self._stats_fn(self._target, src, w, jnp.asarray(cur_T, jnp.float32))
-        H, g, e2 = jax.device_get((stats.H, stats.g, stats.e2))
+        pending = self._pending_drop
+        if pending is not None:
+            self._pending_drop = None
+            H, g, e2, nd = jax.device_get((stats.H, stats.g, stats.e2, pending))
+            if int(nd) > 0:
+                self._rebuild_target_exact()
+                return self.calc_H_g_e2(cur_T, source)
+        else:
+            H, g, e2 = jax.device_get((stats.H, stats.g, stats.e2))
         return np.asarray(H, np.float64), np.asarray(g, np.float64), float(e2)

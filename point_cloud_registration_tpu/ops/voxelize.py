@@ -339,6 +339,67 @@ def build_voxel_map(
     return vm
 
 
+# Process-level geometry hints for the deferred (no-bbox-round-trip) build:
+# {(voxel_size, min_points, with_icov, rich): (origin tuple, dims tuple)}.
+# Purely a performance cache — correctness is enforced by the n_dropped
+# check every deferred consumer performs at its next host sync.
+_GEOM_HINTS: dict = {}
+
+
+def build_voxel_map_deferred(points, voxel_size: float, *, min_points: int = 10,
+                             with_icov: bool = False, rich: str | None = None,
+                             use_hint: bool = True):
+    """:func:`build_voxel_map` minus the bounding-box host round trip.
+
+    Returns ``(vm, n_dropped)``. On a geometry-hint hit the build runs with
+    the cached (origin, dims) statics and ZERO host syncs; ``n_dropped`` is
+    then a device scalar the caller MUST check at its next sync — nonzero
+    means the hinted region under-covered the cloud (the map silently lacks
+    those points) and the caller must rebuild with ``use_hint=False``,
+    which re-seeds the hint from the fresh bbox. On a miss (first build of
+    a geometry class) the synchronous path runs and ``n_dropped`` is None.
+
+    The SLAM steady state — set_target of the same map region per scan —
+    pays the bbox round trip once per process instead of once per build
+    (~35 ms through a remote-attach tunnel).
+    """
+    key = (float(voxel_size), int(min_points), bool(with_icov), rich)
+    hint = _GEOM_HINTS.get(key) if use_hint else None
+    if hint is not None and points.shape[0] > 0:
+        origin, dims = hint
+        pts = jnp.asarray(points, jnp.float32)
+        vm, n_dropped = _build_voxel_map_dense(
+            pts, jnp.asarray(origin, jnp.int32), jnp.float32(voxel_size),
+            dims_static=dims, min_points=min_points, with_icov=with_icov,
+            with_normals=True, rich=rich, with_blocks=True,
+            count_dropped=True,
+        )
+        nb = tuple(-(-d // b) for d, b in zip(dims, DENSE_BLOCK))
+        vm = vm._replace(
+            grid=vm.grid._replace(
+                origin_cell=np.asarray(origin, np.int32),
+                cell_size=np.float32(voxel_size),
+                dims=np.asarray(dims, np.int32),
+            ),
+            nb_dims=np.asarray(nb, np.int32),
+        )
+        return vm, n_dropped
+    vm = build_voxel_map(
+        points, voxel_size, min_points=min_points, with_icov=with_icov,
+        rich=rich,
+    )
+    if vm.grid.dense is not None and isinstance(vm.grid.dims, np.ndarray):
+        # seed/refresh the hint: dims padded up to a multiple of 8 per axis
+        # (headroom for slightly-grown clouds without a recompile; origin
+        # unchanged — growth below origin triggers the rebuild path)
+        dims = tuple(int(-(-int(d) // 8) * 8) for d in vm.grid.dims)
+        if int(np.prod([float(d) for d in dims])) <= DENSE_CELL_BUDGET:
+            _GEOM_HINTS[key] = (
+                tuple(int(x) for x in vm.grid.origin_cell), dims
+            )
+    return vm, None
+
+
 _build_blocks_jit = partial(jax.jit, static_argnames=("nb_dims_static",))(build_dense_blocks)
 _segment_stats_jit = partial(jax.jit, static_argnames=("capacity", "with_covs"))(_segment_stats)
 _dense_blocks_jit = partial(jax.jit, static_argnames=("dims_static", "nb_dims_static"))(
@@ -360,10 +421,10 @@ def sqrt_icov_u6(icovs: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=(
     "dims_static", "min_points", "with_icov", "with_normals", "rich",
-    "with_blocks"))
+    "with_blocks", "count_dropped"))
 def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static,
                            min_points, with_icov, with_normals=True,
-                           rich=None, with_blocks=False):
+                           rich=None, with_blocks=False, count_dropped=False):
     nx, ny, nz = dims_static
     d_total = nx * ny * nz
     coords = cell_coords(points, cell_size)
@@ -476,7 +537,7 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static,
         dense_blocks = dense_blocks_from_dense(
             means, valid, dims_static, nb, feats
         )
-    return VoxelMap(
+    vm = VoxelMap(
         grid=grid,
         means=means,
         covs=covs,
@@ -489,6 +550,12 @@ def _build_voxel_map_dense(points, origin_cell, cell_size, *, dims_static,
         # land it on device and re-cost a sync per spec construction)
         nb_dims=None,
     )
+    if count_dropped:
+        # deferred-validity builds (hinted geometry, no bbox round trip):
+        # nonzero means the hinted region under-covered the cloud and those
+        # points are silently absent — the caller must detect and rebuild
+        return vm, jnp.sum(jnp.logical_not(in_range).astype(jnp.int32))
+    return vm
 
 
 @partial(jax.jit, static_argnames=("min_points", "with_icov"))
