@@ -42,6 +42,21 @@ def build_ndt_target(points, cfg: NDTConfig) -> VoxelMap:
     )
 
 
+def build_ndt_target_deferred(points, cfg: NDTConfig, *, use_hint: bool = True):
+    """Geometry-hinted :func:`build_ndt_target`: ``(vm, n_dropped)``.
+
+    Zero host syncs on a hint hit; the caller must carry the ``n_dropped``
+    device scalar through its next sync."""
+    from point_cloud_registration_tpu.ops.voxelize import (
+        build_voxel_map_deferred,
+    )
+
+    return build_voxel_map_deferred(
+        points, cfg.voxel_size, min_points=cfg.min_points, with_icov=True,
+        rich="sqrt_icov" if cfg.backend != "xla" else None, use_hint=use_hint,
+    )
+
+
 def ndt_solver_stats(vmap_: VoxelMap, source, src_weight, T, cfg: NDTConfig) -> GNStats:
     """Nearest-voxel correspondence + Mahalanobis linearization (ndt.py:24-57)."""
     R, _ = makeRt(T)
@@ -92,7 +107,20 @@ class NDT(Registration):
         )
 
     def set_target(self, target) -> None:
-        self._target = build_ndt_target(target, self.cfg)
+        # geometry-hinted deferred build (zero host syncs on a hint hit);
+        # the n_dropped check rides align's existing result sync
+        self._target_pts = target
+        self._target, self._pending_drop = build_ndt_target_deferred(
+            target, self.cfg
+        )
+        self._spec = voxel_fused_spec(
+            self._target, "ndt", self.cfg.max_dist, self.cfg.huber_delta
+        )
+
+    def _rebuild_target_exact(self) -> None:
+        self._target, _ = build_ndt_target_deferred(
+            self._target_pts, self.cfg, use_hint=False
+        )
         self._spec = voxel_fused_spec(
             self._target, "ndt", self.cfg.max_dist, self.cfg.huber_delta
         )
@@ -104,10 +132,12 @@ class NDT(Registration):
         if self._target is None:
             self.set_target(target)
             return
+        self._verify_target()
         self._target = update_voxel_map(self._target, target, min_points=self.cfg.min_points)
 
     @property
     def voxels(self) -> VoxelMap:
+        self._verify_target()
         return self._target
 
     def _align_fn(self, target, source, src_weight, init_T) -> AlignResult:

@@ -40,6 +40,23 @@ def build_vplane_target(points, cfg: VPlaneICPConfig) -> VoxelMap:
     )
 
 
+def build_vplane_target_deferred(points, cfg: VPlaneICPConfig, *,
+                                 use_hint: bool = True):
+    """Geometry-hinted :func:`build_vplane_target`: ``(vm, n_dropped)``.
+
+    Zero host syncs on a hint hit; the caller must carry the ``n_dropped``
+    device scalar through its next sync (see ops.voxelize.
+    build_voxel_map_deferred)."""
+    from point_cloud_registration_tpu.ops.voxelize import (
+        build_voxel_map_deferred,
+    )
+
+    return build_voxel_map_deferred(
+        points, cfg.voxel_size, min_points=cfg.min_points,
+        rich="normals" if cfg.backend != "xla" else None, use_hint=use_hint,
+    )
+
+
 def vplane_stats(vmap_: VoxelMap, source, src_weight, T, cfg: VPlaneICPConfig) -> GNStats:
     """Nearest-voxel correspondence + plane linearization
     (voxelized_plane_icp.py:23-64)."""
@@ -91,7 +108,21 @@ class VPlaneICP(Registration):
         )
 
     def set_target(self, target) -> None:
-        self._target = build_vplane_target(target, self.cfg)
+        # geometry-hinted deferred build: zero host syncs in the SLAM
+        # steady state (same map region every scan); the n_dropped check
+        # rides align's existing result sync (base.Registration)
+        self._target_pts = target
+        self._target, self._pending_drop = build_vplane_target_deferred(
+            target, self.cfg
+        )
+        self._spec = voxel_fused_spec(
+            self._target, "plane", self.cfg.max_dist, self.cfg.huber_delta
+        )
+
+    def _rebuild_target_exact(self) -> None:
+        self._target, _ = build_vplane_target_deferred(
+            self._target_pts, self.cfg, use_hint=False
+        )
         self._spec = voxel_fused_spec(
             self._target, "plane", self.cfg.max_dist, self.cfg.huber_delta
         )
@@ -104,11 +135,13 @@ class VPlaneICP(Registration):
         if self._target is None:
             self.set_target(target)
             return
+        self._verify_target()
         self._target = update_voxel_map(self._target, target, min_points=self.cfg.min_points)
 
     @property
     def voxels(self) -> VoxelMap:
         """Attribute parity with the reference (voxelized_plane_icp.py:19)."""
+        self._verify_target()
         return self._target
 
     def _align_fn(self, target, source, src_weight, init_T) -> AlignResult:

@@ -384,19 +384,31 @@ def build_voxel_map_deferred(points, voxel_size: float, *, min_points: int = 10,
             nb_dims=np.asarray(nb, np.int32),
         )
         return vm, n_dropped
+    # Miss: seed the hint from the (one-sync) bbox, then run the HINTED
+    # build — so every dense build in the process executes the same
+    # padded-dims program (the sync path would compile a second,
+    # exact-dims program that is thrown away after the first call).
+    # Dims pad up to a multiple of 8 per axis: headroom for slightly-grown
+    # clouds without a recompile; growth below origin or past the padding
+    # triggers the n_dropped rebuild path.
+    if points.shape[0] > 0:
+        lo_cell, hi_cell = _bbox_cells(points, voxel_size)
+        dims = tuple(
+            int(-(-int(d) // 8) * 8) for d in (hi_cell - lo_cell + 1)
+        )
+        if int(np.prod([float(d) for d in dims])) <= DENSE_CELL_BUDGET:
+            _GEOM_HINTS[key] = (tuple(int(x) for x in lo_cell), dims)
+            vm, n_dropped = build_voxel_map_deferred(
+                points, voxel_size, min_points=min_points,
+                with_icov=with_icov, rich=rich,
+            )
+            # the hint covers the bbox exactly, so nothing can drop here —
+            # callers still carry the device scalar through their next sync
+            return vm, n_dropped
     vm = build_voxel_map(
         points, voxel_size, min_points=min_points, with_icov=with_icov,
         rich=rich,
     )
-    if vm.grid.dense is not None and isinstance(vm.grid.dims, np.ndarray):
-        # seed/refresh the hint: dims padded up to a multiple of 8 per axis
-        # (headroom for slightly-grown clouds without a recompile; origin
-        # unchanged — growth below origin triggers the rebuild path)
-        dims = tuple(int(-(-int(d) // 8) * 8) for d in vm.grid.dims)
-        if int(np.prod([float(d) for d in dims])) <= DENSE_CELL_BUDGET:
-            _GEOM_HINTS[key] = (
-                tuple(int(x) for x in vm.grid.origin_cell), dims
-            )
     return vm, None
 
 

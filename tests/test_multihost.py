@@ -93,6 +93,14 @@ def test_two_process_align_matches_single_process():
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
         env["PALLAS_AXON_POOL_IPS"] = ""  # skip TPU plugin registration
+        # the worker runs this file as a script (sys.path[0] = tests/), so
+        # the package root must ride PYTHONPATH explicitly — inheriting the
+        # parent's PYTHONPATH only works when pytest itself was launched
+        # with the repo root on it
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo_root + (
+            os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+        )
         procs.append(
             subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__)],
