@@ -396,8 +396,11 @@ def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
     try:
         from point_cloud_registration_tpu.core.config import ICPConfig
         from point_cloud_registration_tpu.models.icp import build_icp_target
+        from point_cloud_registration_tpu.models._point_fused import (
+            target_fused_rows,
+        )
         from point_cloud_registration_tpu.ops.pallas.point_align import (
-            build_tile_tables,
+            build_tile_tables_dense,
             morton_layout,
             padded_point_capacity,
             point_fused_spec,
@@ -407,14 +410,22 @@ def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
         icp_cfg = ICPConfig(max_dist=max_dist)
         tgt = build_icp_target(map_pts, icp_cfg)
         pspec = point_fused_spec(tgt.packed, "point", max_dist)
-        if pspec is not None:
+        # dense fused rows, same as the solver path: the per-tile 5-D
+        # gather/transpose build materializes a trailing-dim-4 intermediate
+        # that the (8, 128) HBM tiling pads ~32x — 17 GB at bench scale, a
+        # guaranteed compile-time OOM (this async error was r4's phantom
+        # "normals degraded" row: it surfaced at the next block_until_ready)
+        pfrows = target_fused_rows(pspec, tgt.packed)
+        if pspec is not None and pfrows is not None:
             npts = scan.shape[0]
             pos = morton_layout(pspec, q0)
             n_cap = padded_point_capacity(pspec, npts)
             ps = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(scan)
             ws = jnp.zeros((n_cap,), jnp.float32).at[pos].set(1.0)
             qs = ps  # identity transform
-            keys, _, tab = build_tile_tables(pspec, tgt.packed, qs, ws)
+            keys, _, tab = build_tile_tables_dense(
+                pspec, pfrows[0], pfrows[1], qs, ws
+            )
             jax.block_until_ready((keys, tab))
 
             @jax.jit
@@ -673,6 +684,26 @@ def main():
         t_norm = dt if t_norm is None else min(t_norm, dt)
     results["normals"] = (t_norm, 2.201)
     log(f"estimate_normals: {t_norm:.3f}s (ref 2.201s)")
+
+    # throughput-mode row: skip the radius-4 exactness tier (the certified
+    # fraction drops to the base tier's ~82%; normals themselves stay
+    # k-NN-PCA over the base window — quantified, documented approximation)
+    try:
+        jax.block_until_ready(
+            estimate_normals_dev(map_pts, k=15, exact_tail=False)
+        )
+        t_nf = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                estimate_normals_dev(map_pts, k=15, exact_tail=False)
+            )
+            dt = time.perf_counter() - t0
+            t_nf = dt if t_nf is None else min(t_nf, dt)
+        results["normals_fast"] = (t_nf, 2.201)
+        log(f"estimate_normals (no exact tail): {t_nf:.3f}s (ref 2.201s)")
+    except Exception as e:
+        log("normals_fast failed:", repr(e))
 
     # certified k-NN exactness on the path the row above actually ran
     # (VERDICT r3 item 5: wire the evidence into the artifact) — the

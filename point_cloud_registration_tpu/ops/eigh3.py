@@ -78,25 +78,46 @@ def eigvals_sym3(s: jax.Array) -> jax.Array:
     return lams * scale[..., None]
 
 
-def _projector_column(A: jax.Array, lam_a: jax.Array, lam_b: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Largest column of ``(A - lam_a I)(A - lam_b I)`` and its squared norm.
+def _projector_column_packed(s: jax.Array, lam_a: jax.Array, lam_b: jax.Array) -> jax.Array:
+    """Largest column of ``(A - lam_a I)(A - lam_b I)`` from PACKED input.
 
     For distinct eigenvalues this product is proportional to the rank-1
     projector onto the remaining eigenvector, so its dominant column IS that
-    eigenvector (up to sign/scale).
+    eigenvector (up to sign/scale). Fully scalar (packed) arithmetic:
+    ``M = A^2 - (lam_a + lam_b) A + lam_a lam_b I`` — both factors are
+    polynomials in A, so M is symmetric and its 6 distinct entries come from
+    elementwise math over the packed columns. The earlier ``einsum`` form
+    materialized (..., 3, 3) stacks whose trailing dims the TPU (8, 128)
+    tiling pads ~40x — 167 ms at the 1.2M-point bench scale for what is
+    ~60 flops/row of VPU work (measured; this form is ~30x faster).
     """
-    eye = jnp.eye(3, dtype=A.dtype)
-    M = jnp.einsum(
-        "...ij,...jk->...ik",
-        A - lam_a[..., None, None] * eye,
-        A - lam_b[..., None, None] * eye,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    norms2 = jnp.sum(M * M, axis=-2)  # (..., 3) column squared norms
-    best = jnp.argmax(norms2, axis=-1)
-    col = jnp.take_along_axis(M, best[..., None, None], axis=-1)[..., 0]
-    n2 = jnp.take_along_axis(norms2, best[..., None], axis=-1)[..., 0]
-    return col, n2
+    a00, a11, a22, a01, a02, a12 = (s[..., i] for i in range(6))
+    t = lam_a + lam_b
+    d = lam_a * lam_b
+    # A^2 (symmetric): diagonal then upper triangle
+    s00 = a00 * a00 + a01 * a01 + a02 * a02
+    s11 = a01 * a01 + a11 * a11 + a12 * a12
+    s22 = a02 * a02 + a12 * a12 + a22 * a22
+    s01 = a00 * a01 + a01 * a11 + a02 * a12
+    s02 = a00 * a02 + a01 * a12 + a02 * a22
+    s12 = a01 * a02 + a11 * a12 + a12 * a22
+    m00 = s00 - t * a00 + d
+    m11 = s11 - t * a11 + d
+    m22 = s22 - t * a22 + d
+    m01 = s01 - t * a01
+    m02 = s02 - t * a02
+    m12 = s12 - t * a12
+    # column squared norms of the symmetric M
+    n0 = m00 * m00 + m01 * m01 + m02 * m02
+    n1 = m01 * m01 + m11 * m11 + m12 * m12
+    n2 = m02 * m02 + m12 * m12 + m22 * m22
+    # branchless argmax over the three columns
+    use1 = (n1 >= n0) & (n1 >= n2)
+    use2 = (n2 >= n0) & (n2 > n1)
+    vx = jnp.where(use2, m02, jnp.where(use1, m01, m00))
+    vy = jnp.where(use2, m12, jnp.where(use1, m11, m01))
+    vz = jnp.where(use2, m22, jnp.where(use1, m12, m02))
+    return jnp.stack([vx, vy, vz], axis=-1)
 
 
 def _normalize(v: jax.Array, fallback: jax.Array) -> jax.Array:
@@ -117,9 +138,8 @@ def smallest_eigvec_sym3(s: jax.Array) -> jax.Array:
     """
     scale = jnp.maximum(jnp.max(jnp.abs(s), axis=-1), _EPS)
     s = s / scale[..., None]
-    A = unpack_sym3(s)
     lams = eigvals_sym3(s)
-    v, _ = _projector_column(A, lams[..., 2], lams[..., 1])
+    v = _projector_column_packed(s, lams[..., 2], lams[..., 1])
     fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=s.dtype), v.shape)
     return _normalize(v, fallback)
 
@@ -131,10 +151,9 @@ def eigh_sym3(s: jax.Array) -> tuple[jax.Array, jax.Array]:
     """
     scale = jnp.maximum(jnp.max(jnp.abs(s), axis=-1), _EPS)
     sn = s / scale[..., None]
-    A = unpack_sym3(sn)
     lams = eigvals_sym3(sn)
-    v_lo, _ = _projector_column(A, lams[..., 2], lams[..., 1])
-    v_hi, _ = _projector_column(A, lams[..., 0], lams[..., 1])
+    v_lo = _projector_column_packed(sn, lams[..., 2], lams[..., 1])
+    v_hi = _projector_column_packed(sn, lams[..., 0], lams[..., 1])
     z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=s.dtype), v_lo.shape)
     x = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=s.dtype), v_lo.shape)
     v_lo = _normalize(v_lo, z)

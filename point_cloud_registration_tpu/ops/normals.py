@@ -233,7 +233,7 @@ def _knn_tier(fused_tab, fused_over, points_sub, w_live, k, spec, interpret):
     w_s = jnp.zeros((m_cap,), jnp.float32).at[pos].set(w_live)
     keys, flags, tab = build_tile_tables_dense(spec, fused_tab, fused_over,
                                                q_s, w_s)
-    cov6, _, _, unres, exact = knn_moments_call(
+    cov6, _, rk2, unres, exact = knn_moments_call(
         spec, k, keys, flags, tab, q_s, w_s, interpret=interpret
     )
     # un-scatter via the inverse permutation (scatter-SET vectorizes;
@@ -242,9 +242,10 @@ def _knn_tier(fused_tab, fused_over, points_sub, w_live, k, spec, interpret):
         jnp.arange(m, dtype=jnp.int32)
     )
     cov_o = jnp.zeros((m, 6), jnp.float32).at[inv].set(cov6, mode="drop")
+    rk2_o = jnp.zeros((m,), jnp.float32).at[inv].set(rk2, mode="drop")
     unres_o = jnp.zeros((m,), bool).at[inv].set(unres, mode="drop")
     exact_o = jnp.zeros((m,), bool).at[inv].set(exact, mode="drop")
-    return cov_o, unres_o, exact_o
+    return cov_o, rk2_o, unres_o, exact_o
 
 
 @partial(jax.jit, static_argnames=("k", "spec", "spec_wide", "interpret"))
@@ -258,7 +259,7 @@ def _fused_normals_jit(pg, points, k, spec, spec_wide, interpret):
     # one dense fused-row table serves both tiers (row layout depends only
     # on cap/width, not the probe radius)
     fused_tab, fused_over = build_fused_rows(spec, pg)
-    cov6, unres_o, exact_o = _knn_tier(
+    cov6, rk2_o, unres_o, exact_o = _knn_tier(
         fused_tab, fused_over, points, jnp.ones((n,), jnp.float32), k, spec,
         interpret,
     )
@@ -266,20 +267,34 @@ def _fused_normals_jit(pg, points, k, spec, spec_wide, interpret):
     if spec_wide is not None:
         # exactness tier: re-search the non-exact tail at twice the radius
         # on a compacted subset (overflow beyond the capacity keeps the
-        # base-pass approximation — a quality knob, never a correctness one)
-        tail = jnp.logical_not(exact_o) & jnp.logical_not(unres_o)
+        # base-pass approximation — a quality knob, never a correctness one).
+        # Certifiability filter: the wide tier certifies only when ITS k-th
+        # distance lands below 4 * cell. The base pass's k-th distance upper
+        # bounds the true one, but loosely (its window box reaches past the
+        # provable ball), so the skip threshold carries margin: a base k-th
+        # beyond 6 * cell cannot plausibly come back under 4 * cell, and
+        # those isolated-clutter queries skip the 45-probe re-search — at
+        # bench scale ~30% of the tail for no measured certified-fraction
+        # cost. The filter only gates the CERTIFICATE attempt, never the
+        # normal itself (skipped queries keep the base approximation).
+        certifiable = rk2_o < np.float32((6.0 * spec.cell) ** 2)
+        tail = jnp.logical_not(exact_o) & jnp.logical_not(unres_o) & certifiable
         n_tail = jnp.sum(tail)
         # capacity bounds BOTH the wide tier's HBM (its per-tile table must
         # not co-live with memory pressure from the base pass) and its
-        # 45-probe kernel cost; tail overflow keeps the base approximation
-        # (a quality knob, never correctness)
+        # 45-probe kernel cost — the kernel runs at CAPACITY, so this is
+        # the wide tier's price even when the tail is small; overflow keeps
+        # the base approximation. At bench scale the tail is ~18% of the
+        # cloud and nearly all certifiable (r5 measurement: 212k of 1.2M,
+        # 208k below 4 * cell), so n//8 capacity overflowed ~60k queries
+        # and cost 5 points of certified fraction — n//4 holds it all.
         cap_t = int(max(min(n // 4, 1 << 18), min(n, 256)))
 
         def wide(args):
             cov6, exact_o = args
             idxs = jnp.nonzero(tail, size=cap_t, fill_value=0)[0]
             live = jnp.arange(cap_t) < n_tail
-            cov_w, unres_w, exact_w = _knn_tier(
+            cov_w, _, unres_w, exact_w = _knn_tier(
                 fused_tab, fused_over, points[idxs], live.astype(jnp.float32),
                 k, spec_wide, interpret,
             )

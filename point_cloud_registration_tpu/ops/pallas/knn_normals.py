@@ -205,6 +205,10 @@ def _make_knn_kernel(spec: PointFusedSpec, k: int):
         # with nothing else (cnt needs nxt_i), so cnt is accumulated
         # INCREMENTALLY — count(thr < d2 <= nxt) — in the same sweep that
         # would otherwise only find nxt.
+        # (r5 note: a bisection pre-bracket was tried and reverted — the
+        # fori_loop trip count is static, so the extra count sweeps ADD to
+        # the k ascent sweeps instead of replacing them; measured +0.1 s at
+        # bench scale.)
         # int32 loop carries (not bool): Mosaic's proven pattern in the
         # align kernels' fori_loops
         def sel_body(_, carry):

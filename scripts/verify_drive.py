@@ -13,6 +13,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+try:  # persistent compile cache: repeat drives skip the 30-60 s/programs
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import point_cloud_registration_tpu as pcr
 
 failures = []
