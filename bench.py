@@ -763,13 +763,21 @@ def main():
     # pipelines — no host crossing, which through this container's tunnel is
     # most of the wall above
     try:
-        from point_cloud_registration_tpu.ops.voxelize import voxel_filter_device
+        from point_cloud_registration_tpu.ops.voxelize import (
+            voxel_filter_device_deferred,
+        )
+
+        _vfd_nd = []
 
         def run_vfilter_dev():
-            means, n_cells = voxel_filter_device(map_pts, voxel_size)
+            means, n_cells, nd = voxel_filter_device_deferred(map_pts, voxel_size)
             jax.block_until_ready((means, n_cells))
+            _vfd_nd.append(nd)
 
         t_vfd = timed(run_vfilter_dev)
+        # deferred-hint contract: the validity scalar rides the next sync;
+        # a nonzero count would mean the timed rows were clipped
+        assert all(int(jax.device_get(nd)) == 0 for nd in _vfd_nd)
         results["voxel_filter_device"] = (t_vfd, float("nan"))
         log(f"voxel_filter_device 1.2M pts: {t_vfd:.3f}s")
     except Exception as e:
@@ -877,6 +885,11 @@ def main():
                 env.get("XLA_FLAGS", "")
                 + " --xla_force_host_platform_device_count=8"
             ).strip()
+            # CRITICAL: the axon sitecustomize hook dials the TPU relay in
+            # EVERY python interpreter when this is set — a CPU child
+            # claiming the relay while the parent holds the chip wedges the
+            # data plane for ~10 minutes (observed repeatedly)
+            env["PALLAS_AXON_POOL_IPS"] = ""
             r = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(__file__) or ".",
                                               "benchmark", "scaling.py"),
@@ -895,6 +908,14 @@ def main():
                     scaling["efficiency_8dev"] = round(
                         per_dev[8] / (8 * per_dev[1]), 3
                     )
+                # virtual devices SHARE the host's physical cores (XLA:CPU
+                # multithreads the 1-device run across all of them already),
+                # so compute-bound "efficiency" is capped at ncores/8 on
+                # this box — the row demonstrates the sharded program's
+                # correctness + collective overhead, not ICI scaling
+                ncores = os.cpu_count() or 1
+                scaling["host_cores"] = ncores
+                scaling["efficiency_cap_vcpu"] = round(min(1.0, ncores / 8), 3)
                 log(f"scaling (8 virtual CPU devices): {scaling}")
             else:
                 log("scaling harness produced no rows:",

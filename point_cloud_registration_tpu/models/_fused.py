@@ -100,10 +100,13 @@ def fused_voxel_align(vm, source, src_weight, init_T, cfg, spec: FusedSpec,
                 n_inliers=s.n_inliers + sub.n_inliers,
             )
 
-        def compact_fallback(s):
-            idxs = jnp.nonzero(unres, size=fb_cap, fill_value=0)[0]
-            live = jnp.arange(fb_cap) < n_un
-            return _resolve(q[idxs], src_s[idxs], w_s[idxs] * live, s)
+        def compact_fallback(cap):
+            def run(s):
+                idxs = jnp.nonzero(unres, size=cap, fill_value=0)[0]
+                live = jnp.arange(cap) < n_un
+                return _resolve(q[idxs], src_s[idxs], w_s[idxs] * live, s)
+
+            return run
 
         def full_fallback(s):
             # pathological: more stragglers than the compaction capacity
@@ -111,9 +114,19 @@ def fused_voxel_align(vm, source, src_weight, init_T, cfg, spec: FusedSpec,
             # every unresolved point so no contribution is dropped
             return _resolve(q, src_s, w_s * unres, s)
 
-        tier = (n_un > 0).astype(jnp.int32) + (n_un > fb_cap).astype(jnp.int32)
+        # converged-regime stragglers are a few hundred: the small tier
+        # keeps the per-iteration re-query at sm_cap instead of n//8
+        sm_cap = small_fallback_cap(fb_cap, n)
+        tier = (
+            (n_un > 0).astype(jnp.int32)
+            + (n_un > sm_cap).astype(jnp.int32)
+            + (n_un > fb_cap).astype(jnp.int32)
+        )
         return jax.lax.switch(
-            tier, [lambda s: s, compact_fallback, full_fallback], base
+            tier,
+            [lambda s: s, compact_fallback(sm_cap), compact_fallback(fb_cap),
+             full_fallback],
+            base,
         )
 
     return gauss_newton(stats_fn, init_T, cfg.max_iter, cfg.tol)
@@ -210,14 +223,23 @@ def fused_voxel_align_batched(vm, sources, src_weights, init_Ts, cfg,
         # runs ONE branch — in the converged regime the worst problem's
         # straggler count is tiny, so the cheap small-cap tier carries most
         # iterations; the full re-query costs nothing unless some problem
-        # actually overflows its compaction capacity
+        # actually overflows its compaction capacity. Tier 0 (zero
+        # stragglers anywhere) is a true no-op: without it every iteration
+        # paid a B x sm_cap window re-query for nothing (the r3->r4 batched
+        # throughput regression, ~2-4 ms/iteration).
         max_un = jnp.max(jnp.sum(unres_b, axis=1))
-        tier = (max_un > sm_cap).astype(jnp.int32) + (max_un > fb_cap).astype(
-            jnp.int32
+        tier = (
+            (max_un > 0).astype(jnp.int32)
+            + (max_un > sm_cap).astype(jnp.int32)
+            + (max_un > fb_cap).astype(jnp.int32)
         )
         return jax.lax.switch(
             tier,
             [
+                lambda: GNStats(
+                    H=C[:, :6, :6], g=C[:, :6, 6], e2=C[:, 6, 6],
+                    n_inliers=C[:, 7, 7],
+                ),
                 lambda: add(C, jax.vmap(resolve_compact(sm_cap))(
                     q, unres_b, w_s, src_s, Rs)),
                 lambda: add(C, jax.vmap(resolve_compact(fb_cap))(

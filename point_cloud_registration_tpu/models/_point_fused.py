@@ -247,13 +247,22 @@ def fused_point_align_batched(target, normals, sources, src_weights, init_Ts,
                 n_inliers=Cb[:, 7, 7] + sub.n_inliers,
             )
 
+        # tier 0 (zero stragglers anywhere) is a true no-op — same fix as
+        # the batched voxel driver: without it every iteration paid a
+        # B x sm_cap packed+proxy re-query even with nothing unresolved
         max_un = jnp.max(jnp.sum(unres_b, axis=1))
-        tier = (max_un > sm_cap).astype(jnp.int32) + (max_un > fb_cap).astype(
-            jnp.int32
+        tier = (
+            (max_un > 0).astype(jnp.int32)
+            + (max_un > sm_cap).astype(jnp.int32)
+            + (max_un > fb_cap).astype(jnp.int32)
         )
         return jax.lax.switch(
             tier,
             [
+                lambda: GNStats(
+                    H=C[:, :6, :6], g=C[:, :6, 6], e2=C[:, 6, 6],
+                    n_inliers=C[:, 7, 7],
+                ),
                 lambda: add(C, jax.vmap(resolve_compact(sm_cap))(
                     q, unres_b, w_s, src_s, Rs)),
                 lambda: add(C, jax.vmap(resolve_compact(fb_cap))(

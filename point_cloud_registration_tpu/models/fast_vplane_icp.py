@@ -188,6 +188,17 @@ def _linearize_body(vmap_, source, src_weight, T, cfg):
 class FastVPlaneICP(Registration):
     """Reference-compatible shim (fast_voxelized_plane_icp.py:23-30 signature)."""
 
+    # Breakeven for the "auto" coreset mode, in remaining GN iterations.
+    # Both sides scale linearly in the live-point count n, so the ratio is
+    # scale-free: the host float64 Caratheodory lift costs ~3 us/point
+    # (measured r5: ~0.3 s at 100k live points) while one full-cloud fused
+    # GN iteration costs ~63 ns/point on a v5e chip — the lift only pays
+    # when more than ~lift/iter ~= 48 iterations remain after the switch,
+    # which a max_iter=30 run can never reach. On TPU the economics of the
+    # reference's experiment invert: the full-cloud iteration is already
+    # near-roofline, so "auto" runs phase 1 only (== plain VPlaneICP).
+    CORESET_BREAKEVEN_ITERS = 48
+
     def __init__(
         self,
         voxel_size: float = 1.0,
@@ -198,14 +209,18 @@ class FastVPlaneICP(Registration):
         debug: bool = False,
         coreset_switch: float = 1e-2,
         coreset_clusters: int = 64,
+        coreset: str = "auto",
     ):
         super().__init__(max_iter=max_iter, tol=tol)
+        if coreset not in ("auto", "always", "never"):
+            raise ValueError(f"unknown coreset mode {coreset!r}")
         self.voxel_size = voxel_size
         self.max_dist = max_dist
         self.N_target = N_target
         self.debug = debug
         self.coreset_switch = coreset_switch  # switch heuristic (ref :63, 1e-2)
         self.coreset_clusters = coreset_clusters  # ref :34 (k=64)
+        self.coreset_mode = coreset
         self.cfg = VPlaneICPConfig(
             voxel_size=voxel_size, max_iter=max_iter, max_dist=max_dist, tol=tol
         )
@@ -246,16 +261,26 @@ class FastVPlaneICP(Registration):
         T0 = jnp.asarray(init_T, jnp.float32)
 
         # Phase 1: full-cloud GN to the switch threshold, ONE device program.
-        switch = max(self.coreset_switch, self.tol)
+        # In "auto"/"never" mode (see CORESET_BREAKEVEN_ITERS) phase 1 runs
+        # at the TRUE tolerance — there is no switch to observe, so the
+        # align is exactly plain VPlaneICP plus nothing.
+        may_engage = self.coreset_mode == "always" or (
+            self.coreset_mode == "auto"
+            and self.max_iter > self.CORESET_BREAKEVEN_ITERS
+        )
+        switch = max(self.coreset_switch, self.tol) if may_engage else self.tol
         cfg1 = dataclasses.replace(self.cfg, tol=switch)
         T1, diag1 = self._phase1(src, w_src, T0, cfg1)
-        # Linearize at the switch transform for the coreset lift; fetch it
-        # in the SAME host sync as phase 1's outcome (+ the deferred-build
-        # validity scalar when one is pending).
-        J, r, w = vplane_linearize(self._target, src, w_src, T1, self.cfg)
+        if may_engage:
+            # Linearize at the switch transform for the coreset lift; fetch
+            # it in the SAME host sync as phase 1's outcome (+ the
+            # deferred-build validity scalar when one is pending).
+            J, r, w = vplane_linearize(self._target, src, w_src, T1, self.cfg)
+            fetch = (T1, diag1, J, r, w)
+        else:
+            fetch = (T1, diag1)
         pending = self._pending_drop
         self._pending_drop = None
-        fetch = (T1, diag1, J, r, w)
         if pending is not None:
             (*got, nd) = jax.device_get((*fetch, pending))
             if int(nd) > 0:
@@ -263,7 +288,10 @@ class FastVPlaneICP(Registration):
                 return self.align(source, init_T, verbose)
         else:
             got = jax.device_get(fetch)
-        T1_np, diag1_np, J_np, r_np, w_np = got
+        if may_engage:
+            T1_np, diag1_np, J_np, r_np, w_np = got
+        else:
+            T1_np, diag1_np = got
         iters1 = int(diag1_np.iterations)
         iters_left = self.max_iter - iters1
 
@@ -277,14 +305,16 @@ class FastVPlaneICP(Registration):
                     )
             return np.asarray(T_np, dtype=np.float64)
 
-        # No budget left, solver failure, already at the TRUE tolerance, or
-        # never reached the switch: phase 1's answer stands (the reference
-        # only switches when the step actually shrank below the threshold).
+        # Coreset disabled, no budget left, solver failure, already at the
+        # TRUE tolerance, or never reached the switch: phase 1's answer
+        # stands (the reference only switches when the step actually shrank
+        # below the threshold).
         reached_switch = bool(diag1_np.converged) and not bool(diag1_np.solver_failed)
         true_converged = (
             iters1 > 0 and float(diag1_np.dx_norm_history[iters1 - 1]) < self.tol
         )
-        if iters_left <= 0 or not reached_switch or true_converged:
+        if (not may_engage or iters_left <= 0 or not reached_switch
+                or true_converged):
             return finish(T1_np, diag1_np)
 
         # Host-side float64 Caratheodory lift at the frozen switch transform.

@@ -796,9 +796,9 @@ def _outer6(v: jax.Array) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("dims_static", "capacity"))
+@partial(jax.jit, static_argnames=("dims_static", "capacity", "count_dropped"))
 def _voxel_filter_dense(points, origin_cell, cell_size, *, dims_static,
-                        capacity):
+                        capacity, count_dropped=False):
     """Sort-free downsampling: ONE fused (N, 4)-row scatter-add of
     ``[x - corner, ..., 1]`` into dense cell rows, then an on-device
     compaction of the occupied cells. Centroids accumulate cell-relative
@@ -833,6 +833,9 @@ def _voxel_filter_dense(points, origin_cell, cell_size, *, dims_static,
     out = jnp.where(
         live[:, None], means[jnp.minimum(idx, d_total - 1)], jnp.inf
     )
+    if count_dropped:
+        n_dropped = jnp.sum(jnp.logical_not(in_range)).astype(jnp.int32)
+        return out, n_cells, n_dropped
     return out, n_cells
 
 
@@ -842,13 +845,25 @@ def voxel_filter_device(points, voxel_size: float):
     Rows past ``n_cells`` are +inf padding; nothing crosses to the host
     (feed the result straight into ``set_target``/coreset pipelines). The
     dense-direct build is sort-free — one fused scatter-add + compaction.
+    Exact: pays one bounding-box host sync per call (and seeds the geometry
+    hint the deferred variant uses).
     """
     lo_cell, hi_cell = _bbox_cells(points, voxel_size)
     points = jnp.asarray(points, dtype=jnp.float32)
     total_cells = int(np.prod(hi_cell - lo_cell + 1))
     if total_cells <= DENSE_CELL_BUDGET:
-        dims = tuple(int(x) for x in (hi_cell - lo_cell + 1))
-        capacity = 1 << max(0, int(min(points.shape[0], total_cells) - 1).bit_length())
+        # seed the deferred variant's hint with padded dims (same headroom
+        # policy as build_voxel_map_deferred)
+        dims = tuple(
+            int(-(-int(d) // 8) * 8) for d in (hi_cell - lo_cell + 1)
+        )
+        if int(np.prod([float(d) for d in dims])) <= DENSE_CELL_BUDGET:
+            _GEOM_HINTS[("vfilter", float(voxel_size))] = (
+                tuple(int(x) for x in lo_cell), dims
+            )
+        else:
+            dims = tuple(int(x) for x in (hi_cell - lo_cell + 1))
+        capacity = 1 << max(0, int(min(points.shape[0], int(np.prod([float(d) for d in dims]))) - 1).bit_length())
         return _voxel_filter_dense(
             points, jnp.asarray(lo_cell, jnp.int32), jnp.float32(voxel_size),
             dims_static=dims, capacity=capacity,
@@ -863,16 +878,43 @@ def voxel_filter_device(points, voxel_size: float):
     return jnp.where(live[:, None], means, jnp.inf), grid.n_cells
 
 
+def voxel_filter_device_deferred(points, voxel_size: float):
+    """Geometry-hinted :func:`voxel_filter_device`:
+    ``(means, n_cells, n_dropped)`` with ZERO host syncs on a hint hit.
+
+    ``n_dropped`` is a device scalar the caller MUST check at its next sync
+    — nonzero means the hinted region under-covered the cloud (those points
+    are missing from the result) and the call must be redone with
+    :func:`voxel_filter_device` (which re-seeds the hint). On a hint miss
+    the exact path runs and ``n_dropped`` is a constant 0.
+    """
+    hint = _GEOM_HINTS.get(("vfilter", float(voxel_size)))
+    if hint is not None and points.shape[0] > 0:
+        origin, dims = hint
+        pts = jnp.asarray(points, jnp.float32)
+        capacity = 1 << max(0, int(min(points.shape[0], int(np.prod([float(d) for d in dims]))) - 1).bit_length())
+        return _voxel_filter_dense(
+            pts, jnp.asarray(origin, jnp.int32), jnp.float32(voxel_size),
+            dims_static=dims, capacity=capacity, count_dropped=True,
+        )
+    means, n_cells = voxel_filter_device(points, voxel_size)
+    return means, n_cells, jnp.int32(0)
+
+
 def voxel_filter(points, voxel_size: float) -> np.ndarray:
     """Voxel downsampling: per-voxel centroid, float32 (voxel.py:209-241).
 
     Output content matches the reference exactly; ordering differs (reference
     orders by its modular hash, we order by bounding-box key — both are
     implementation details of ``unique``). One combined device_get (count +
-    compacted rows) is the only host crossing.
+    compacted rows + hint-validity) is the only host crossing in the steady
+    state; an under-covering hint triggers one exact redo.
     """
-    means, n_cells = voxel_filter_device(points, voxel_size)
-    n_cells, means_np = jax.device_get((n_cells, means))
+    means, n_cells, nd = voxel_filter_device_deferred(points, voxel_size)
+    n_cells, means_np, nd = jax.device_get((n_cells, means, nd))
+    if int(nd) > 0:
+        means, n_cells = voxel_filter_device(points, voxel_size)
+        n_cells, means_np = jax.device_get((n_cells, means))
     return np.asarray(means_np)[: int(n_cells)].astype(np.float32)
 
 

@@ -4,6 +4,12 @@ Tests run on a simulated 8-device CPU platform so sharding/collective code
 paths are exercised without TPU hardware (the driver separately dry-runs the
 multi-chip path). Must run before the first ``import jax`` touches the
 backend.
+
+CAUTION (this container): when ``PALLAS_AXON_POOL_IPS`` is set, the axon
+sitecustomize hook dials the TPU relay at INTERPRETER start — before this
+conftest can run — so a pytest invocation can wedge the relay's data plane
+for ~10 minutes if another process holds the chip. Launch pytest with
+``PALLAS_AXON_POOL_IPS=`` (empty) whenever a TPU job may be running.
 """
 
 import os

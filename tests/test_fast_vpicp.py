@@ -28,7 +28,7 @@ def test_fast_align_matches_plain(scene):
     )
 
     fast = FastVPlaneICP(voxel_size=1.0, max_iter=30, max_dist=2.0, tol=1e-3,
-                         coreset_switch=2e-2)
+                         coreset_switch=2e-2, coreset="always")
     fast.set_target(scene)
     T_fast = fast.align(scan)
     d = fast.last_diagnostics
@@ -50,13 +50,14 @@ def test_fast_align_matches_plain(scene):
 
 
 def test_fast_align_no_switch_is_plain(scene):
-    """With the switch threshold at/below tol, phase 2 never runs and the
-    result must equal plain VPlaneICP bit-for-bit (same program)."""
+    """In the default "auto" mode the breakeven guard disables the coreset
+    at reference-scale max_iter (the host float64 lift costs more than the
+    iterations it saves — see FastVPlaneICP.CORESET_BREAKEVEN_ITERS), so
+    the result must equal plain VPlaneICP bit-for-bit (same program)."""
     rng = np.random.RandomState(8)
     scan, _ = make_scan(rng, scene, np.array([0.03, 0.01, -0.02, 0.0, 0.005, 0.0]))
 
-    fast = FastVPlaneICP(voxel_size=1.0, max_iter=30, max_dist=2.0, tol=1e-3,
-                         coreset_switch=1e-3)
+    fast = FastVPlaneICP(voxel_size=1.0, max_iter=30, max_dist=2.0, tol=1e-3)
     fast.set_target(scene)
     T_fast = fast.align(scan)
 
@@ -71,7 +72,7 @@ def test_fast_diagnostics_phase_merge(scene):
     rng = np.random.RandomState(9)
     scan, _ = make_scan(rng, scene, np.array([0.05, -0.03, 0.04, 0.01, 0.0, 0.0]))
     fast = FastVPlaneICP(voxel_size=1.0, max_iter=25, max_dist=2.0, tol=1e-4,
-                         coreset_switch=3e-2)
+                         coreset_switch=3e-2, coreset="always")
     fast.set_target(scene)
     fast.align(scan)
     d = fast.last_diagnostics
