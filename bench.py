@@ -318,15 +318,21 @@ def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
 
     @jax.jit
     def build_loop(pts):
-        def body(i, acc):
+        # Chain each iteration's INPUT on the previous iteration's OUTPUT
+        # (a +0-magnitude perturbation XLA cannot fold away: 1e-30 is not a
+        # literal zero and the carried value is data-dependent), so
+        # loop-invariant code motion cannot hoist the build out of the loop
+        # — with `pts + acc * 0` it did, and the r5 bench recorded a
+        # nonsense build_s=0.0 / 31 TB/s row.
+        def body(i, p):
             vm_i = _build_voxel_map_dense(
-                pts + acc * 0, origin, jnp.float32(voxel_size),
+                p, origin, jnp.float32(voxel_size),
                 dims_static=dims, min_points=10, with_icov=False,
                 with_normals=True,
             )
             blk = _dense_blocks_jit(vm_i.means, vm_i.valid, dims, nb, vm_i.normals)
-            return acc + blk[0, 0, 0, 0] * 1e-20
-        return jax.lax.fori_loop(0, BREP, body, 0.0)
+            return p + blk[0, 0, 0, 0] * 1e-30
+        return jax.lax.fori_loop(0, BREP, body, pts)[0, 0]
 
     t_build = best(lambda: build_loop(dev_map)) / BREP
     table_bytes = int(np.prod(vm.dense_blocks.shape)) * 4
@@ -409,7 +415,12 @@ def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
 
         icp_cfg = ICPConfig(max_dist=max_dist)
         tgt = build_icp_target(map_pts, icp_cfg)
-        pspec = point_fused_spec(tgt.packed, "point", max_dist)
+        # same spec parameters as the solver/batched path: the default swept
+        # spec at bench scale produced a compile payload past the remote
+        # relay's body limit (HTTP 413 in the r5 run); tq=128/cb=512 with
+        # dense fused rows is the configuration measured live elsewhere
+        pspec = point_fused_spec(tgt.packed, "point", max_dist,
+                                 tq=128, cb=512, radius=1)
         # dense fused rows, same as the solver path: the per-tile 5-D
         # gather/transpose build materializes a trailing-dim-4 intermediate
         # that the (8, 128) HBM tiling pads ~32x — 17 GB at bench scale, a
@@ -793,6 +804,7 @@ def main():
         from point_cloud_registration_tpu.models import build_vplane_target
         from point_cloud_registration_tpu.models._fused import (
             fused_voxel_align_batched,
+            scan_scaled_spec,
             use_fused,
         )
         from point_cloud_registration_tpu.ops.pallas.fused_align import voxel_fused_spec
@@ -807,7 +819,11 @@ def main():
         scans = jax.device_put(jnp.asarray(scans_np))
         weights = jnp.ones((B, n_b), jnp.float32)
         init_Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
-        spec = voxel_fused_spec(target, "plane", max_dist=cfg.max_dist)
+        # tq scaled to the 16k scans' density: a 512-query band tile of a
+        # subsampled scan overflows the region clamp every iteration
+        spec = scan_scaled_spec(
+            voxel_fused_spec(target, "plane", max_dist=cfg.max_dist), n_b
+        )
         mesh = make_mesh(batch=1, data=1)
 
         if use_fused(cfg.backend, spec):
@@ -869,57 +885,67 @@ def main():
     except Exception as e:  # keep the headline metric robust
         log("batched bench failed:", repr(e))
 
-    # Scaling-efficiency protocol (BASELINE.json: >=0.8 efficiency at 8
-    # devices): 1-vs-8 virtual-CPU-device registrations/s via the scaling
-    # harness, in a CPU-pinned subprocess so it never contends for the TPU
-    # this bench holds. Skippable (BENCH_SKIP_SCALING=1) — it recompiles the
-    # sharded program on the CPU backend, which costs a couple of minutes.
+    # Scaling-efficiency protocol (BASELINE.json: >=0.8 efficiency):
+    # RESOURCE-PROPORTIONAL virtual-device scaling on the CPU rig. Real
+    # multi-chip scaling adds a full chip's compute per device; virtual CPU
+    # devices share this host's cores, so the honest analogue pins each run
+    # to as many physical cores as it has devices (taskset): 1 device on 1
+    # core vs N devices on N cores. Without the pinning, XLA:CPU already
+    # multithreads the 1-device run across every core and compute-bound
+    # "efficiency" is capped at 1/N by construction (the r4/r5 runs'
+    # 0.18-0.25 rows were exactly that artifact). Runs in CPU subprocesses
+    # so it never contends for the TPU this bench holds. Skippable
+    # (BENCH_SKIP_SCALING=1) — it compiles the sharded program per device
+    # count on the CPU backend.
     scaling = None
     if not os.environ.get("BENCH_SKIP_SCALING"):
         try:
             import re
             import subprocess
 
-            env = dict(os.environ)
-            env["XLA_FLAGS"] = (
-                env.get("XLA_FLAGS", "")
-                + " --xla_force_host_platform_device_count=8"
-            ).strip()
-            # CRITICAL: the axon sitecustomize hook dials the TPU relay in
-            # EVERY python interpreter when this is set — a CPU child
-            # claiming the relay while the parent holds the chip wedges the
-            # data plane for ~10 minutes (observed repeatedly)
-            env["PALLAS_AXON_POOL_IPS"] = ""
-            r = subprocess.run(
-                [sys.executable, os.path.join(os.path.dirname(__file__) or ".",
-                                              "benchmark", "scaling.py"),
-                 "--force-cpu", "--batch", "8", "--scan-points", "4096",
-                 "--map-points", "200000", "--reps", "2"],
-                capture_output=True, timeout=900, env=env, text=True,
-            )
-            rows = re.findall(
-                r"\((\d+) devices\):\s+([\d.]+) registrations/s", r.stdout
-            )
-            if rows:
-                per_dev = {int(nd): float(rate) for nd, rate in rows}
-                scaling = {f"cpu{nd}_regs_per_s": rate
-                           for nd, rate in sorted(per_dev.items())}
-                if 1 in per_dev and 8 in per_dev and per_dev[1] > 0:
-                    scaling["efficiency_8dev"] = round(
-                        per_dev[8] / (8 * per_dev[1]), 3
-                    )
-                # virtual devices SHARE the host's physical cores (XLA:CPU
-                # multithreads the 1-device run across all of them already),
-                # so compute-bound "efficiency" is capped at ncores/8 on
-                # this box — the row demonstrates the sharded program's
-                # correctness + collective overhead, not ICI scaling
-                ncores = os.cpu_count() or 1
-                scaling["host_cores"] = ncores
-                scaling["efficiency_cap_vcpu"] = round(min(1.0, ncores / 8), 3)
-                log(f"scaling (8 virtual CPU devices): {scaling}")
-            else:
-                log("scaling harness produced no rows:",
-                    (r.stdout + r.stderr)[-300:])
+            ncores = os.cpu_count() or 1
+            n_scale = min(4, ncores)
+
+            def _scaling_row(n_dev, cores):
+                env = dict(os.environ)
+                env["XLA_FLAGS"] = (
+                    env.get("XLA_FLAGS", "")
+                    + f" --xla_force_host_platform_device_count={n_dev}"
+                ).strip()
+                # CRITICAL: the axon sitecustomize hook dials the TPU relay
+                # in EVERY python interpreter when this is set — a CPU child
+                # claiming the relay while the parent holds the chip wedges
+                # the data plane for ~10 minutes (observed repeatedly)
+                env["PALLAS_AXON_POOL_IPS"] = ""
+                cmd = ["taskset", "-c", cores, sys.executable,
+                       os.path.join(os.path.dirname(__file__) or ".",
+                                    "benchmark", "scaling.py"),
+                       "--force-cpu", "--batch", "8", "--scan-points", "4096",
+                       "--map-points", "200000", "--reps", "2",
+                       "--only-devices", str(n_dev)]
+                r = subprocess.run(cmd, capture_output=True, timeout=900,
+                                   env=env, text=True)
+                m = re.search(
+                    r"\((\d+) devices\):\s+([\d.]+) registrations/s", r.stdout
+                )
+                if m is None:
+                    log(f"scaling {n_dev}-dev row produced no output:",
+                        (r.stdout + r.stderr)[-300:])
+                    return None
+                return float(m.group(2))
+
+            r1 = _scaling_row(1, "0")
+            rn = _scaling_row(n_scale, f"0-{n_scale - 1}")
+            if r1 and rn:
+                scaling = {
+                    "protocol": "resource-proportional: N virtual devices "
+                                "pinned to N physical cores",
+                    "cpu1_regs_per_s_1core": round(r1, 2),
+                    f"cpu{n_scale}_regs_per_s_{n_scale}core": round(rn, 2),
+                    f"efficiency_{n_scale}dev": round(rn / (n_scale * r1), 3),
+                    "host_cores": ncores,
+                }
+                log(f"scaling (resource-proportional CPU rig): {scaling}")
         except Exception as e:
             log("scaling harness failed:", repr(e))
 

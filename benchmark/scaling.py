@@ -38,6 +38,15 @@ def main():
         "path; TPU only (the kernel has no CPU compile target)",
     )
     ap.add_argument(
+        "--only-devices", type=int, default=None,
+        help="measure only the N-device row. Resource-proportional scaling "
+        "protocol on a shared-core host: the caller pins this process to N "
+        "cores (taskset) and forces N virtual devices, so each device maps "
+        "to one physical core — the CPU-rig analogue of each TPU chip "
+        "bringing its own compute. Without it, 1-dev and N-dev rows share "
+        "every core and compute-bound 'efficiency' is capped at 1/N.",
+    )
+    ap.add_argument(
         "--force-cpu", action="store_true",
         help="pin the CPU backend from inside the process (this container's "
         "sitecustomize re-asserts jax_platforms=axon, so the env var alone "
@@ -85,7 +94,15 @@ def main():
     if args.fused and spec is None:
         print("no fused spec for this map (sparse path) — falling back to XLA")
 
-    for n_dev in sorted({1, len(devices)}):
+    rows = (
+        sorted({1, len(devices)})
+        if args.only_devices is None
+        else [args.only_devices]
+    )
+    for n_dev in rows:
+        if n_dev > len(devices):
+            print(f"skipping {n_dev}-device row: only {len(devices)} devices")
+            continue
         data = max(1, n_dev // min(n_dev, B))
         batch_ax = n_dev // data
         if B % batch_ax or n % data:

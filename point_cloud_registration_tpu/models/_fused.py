@@ -44,6 +44,33 @@ def small_fallback_cap(fb_cap: int, n: int) -> int:
     return int(min(fb_cap, max(min(n, 256), 1024)))
 
 
+def scan_scaled_spec(spec: FusedSpec | None, n: int) -> FusedSpec | None:
+    """Scale the band-tile size to the scan's point count.
+
+    The spec's default tq=512 is anchored on the B-01 protocol's 100k-point
+    scan. A SUBSAMPLED scan covers the same map area with fewer points, so
+    a fixed-tq tile spans a proportionally larger footprint and overflows
+    the spec's static region clamp — every iteration then floods the
+    compacted fallback with region-clamped stragglers (measured r5: the
+    batched 8x16k stream paid 2.8x per-row vs the single 100k align).
+    Halving tq keeps the tile footprint nearer the anchor's; the floor is
+    256 because the kernel's scalar-prefetch operands pad to 128 lanes per
+    tile and the tile count at tq=128 overflows the chip's 1 MB SMEM
+    (measured: 2 x 548 KB prefetch operands at 1096 tiles). Purely a
+    performance choice — stragglers are always correct via the fallback
+    tiers.
+    """
+    if spec is None or spec.tq <= 256:
+        return spec
+    tq = 512 if n >= 75_000 else 256
+    tq = min(tq, spec.tq)
+    if tq == spec.tq:
+        return spec
+    import dataclasses as _dc
+
+    return _dc.replace(spec, tq=tq)
+
+
 def use_fused(backend: str, spec: FusedSpec | None) -> bool:
     """Host-side backend resolution: the fused kernel runs compiled on TPU
     by default and only when the target has the planar tables; "pallas"

@@ -243,7 +243,9 @@ class FastVPlaneICP(Registration):
         )
 
     def _phase1(self, src, w_src, T0, cfg1):
-        spec = getattr(self, "_spec", None)
+        from point_cloud_registration_tpu.models._fused import scan_scaled_spec
+
+        spec = scan_scaled_spec(getattr(self, "_spec", None), int(src.shape[0]))
         if use_fused(self.cfg.backend, spec):
             return fused_voxel_align(
                 self._target, src, w_src, T0, cfg1, spec,

@@ -19,7 +19,11 @@ import jax.numpy as jnp
 from point_cloud_registration_tpu.core.config import NDTConfig
 from point_cloud_registration_tpu.core.gn import GNStats, gauss_newton
 from point_cloud_registration_tpu.core.se3 import makeRt, transform_points
-from point_cloud_registration_tpu.models._fused import fused_voxel_align, use_fused
+from point_cloud_registration_tpu.models._fused import (
+    fused_voxel_align,
+    scan_scaled_spec,
+    use_fused,
+)
 from point_cloud_registration_tpu.models.base import AlignResult, Registration
 from point_cloud_registration_tpu.ops.pallas.fused_align import voxel_fused_spec
 from point_cloud_registration_tpu.ops.reduce import ndt_stats
@@ -141,7 +145,9 @@ class NDT(Registration):
         return self._target
 
     def _align_fn(self, target, source, src_weight, init_T) -> AlignResult:
-        spec = getattr(self, "_spec", None)
+        spec = scan_scaled_spec(
+            getattr(self, "_spec", None), int(source.shape[0])
+        )
         if use_fused(self.cfg.backend, spec):
             T, diag = fused_voxel_align(
                 target, source, src_weight, init_T, self.cfg, spec,

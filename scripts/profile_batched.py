@@ -16,7 +16,10 @@ import bench  # noqa: E402
 
 from point_cloud_registration_tpu.core.config import ICPConfig, VPlaneICPConfig  # noqa: E402
 from point_cloud_registration_tpu.models import build_vplane_target  # noqa: E402
-from point_cloud_registration_tpu.models._fused import fused_voxel_align_batched  # noqa: E402
+from point_cloud_registration_tpu.models._fused import (  # noqa: E402
+    fused_voxel_align_batched,
+    scan_scaled_spec,
+)
 from point_cloud_registration_tpu.models._point_fused import (  # noqa: E402
     fused_point_align_batched,
     target_fused_rows,
@@ -34,9 +37,9 @@ max_iter, tol, max_dist, voxel_size = 30, 1e-3, 2.0, 1.0
 cfg = VPlaneICPConfig(voxel_size=voxel_size, max_iter=max_iter,
                       max_dist=max_dist, tol=tol)
 target = build_vplane_target(map_pts, cfg)
-spec = voxel_fused_spec(target, "plane", max_dist=cfg.max_dist)
-
 B, n_b = 8, 16384
+spec = scan_scaled_spec(
+    voxel_fused_spec(target, "plane", max_dist=cfg.max_dist), n_b)
 scans = jax.device_put(jnp.asarray(np.stack(
     [bench.make_scan(np.random.RandomState(100 + b), map_np, n_b)
      for b in range(B)])))
