@@ -53,16 +53,22 @@ def scan_scaled_spec(spec: FusedSpec | None, n: int) -> FusedSpec | None:
     the spec's static region clamp — every iteration then floods the
     compacted fallback with region-clamped stragglers (measured r5: the
     batched 8x16k stream paid 2.8x per-row vs the single 100k align).
-    Halving tq keeps the tile footprint nearer the anchor's; the floor is
-    256 because the kernel's scalar-prefetch operands pad to 128 lanes per
-    tile and the tile count at tq=128 overflows the chip's 1 MB SMEM
-    (measured: 2 x 548 KB prefetch operands at 1096 tiles). Purely a
-    performance choice — stragglers are always correct via the fallback
-    tiers.
+    Scaling tq with n keeps the tile footprint near the anchor's
+    (tq/n ~ 512/100k, rounded down to the kernel's 128 minimum). Hardware
+    sweep at 8x16k scans: tq=128 -> 96.8 reg/s, 256 -> 66.8, 512 -> 52.
+    (tq=128 needs the FLATTENED 1-D scalar-prefetch operands — the earlier
+    2-D layout padded each tile's scalars to 128 lanes and blew the 1 MB
+    SMEM at 1096 tiles.) Purely a performance choice — stragglers are
+    always correct via the fallback tiers.
     """
-    if spec is None or spec.tq <= 256:
+    if spec is None or spec.tq <= 128:
         return spec
-    tq = 512 if n >= 75_000 else 256
+    if n >= 75_000:
+        tq = 512
+    elif n >= 37_500:
+        tq = 256
+    else:
+        tq = 128
     tq = min(tq, spec.tq)
     if tq == spec.tq:
         return spec

@@ -11,6 +11,14 @@ batched over any leading shape, branchless.
 
 Packed symmetric layout used throughout the framework: ``(..., 6)`` ordered
 ``[a00, a11, a22, a01, a02, a12]`` (diagonal first, then upper triangle).
+
+Layout note (TPU): every minor-dim slice ``s[..., i]`` of a packed ``(N, 6)``
+array is lane-strided — the (8, 128) tile pads dim 6 to 128 lanes, so six
+such reads re-read the padded array six times (a standalone 1.2M-row
+eigensolve measured 94 ms for ~60 flops/row). All internals therefore
+unpack ONCE via a single (..., 6) -> (6, ...) relayout and compute on
+contiguous per-component arrays (measured ~20x faster standalone; inside a
+fused build program XLA fuses either form, so the public API is unchanged).
 """
 
 from __future__ import annotations
@@ -42,17 +50,30 @@ def unpack_sym3(s: jax.Array) -> jax.Array:
     )
 
 
-def eigvals_sym3(s: jax.Array) -> jax.Array:
-    """Eigenvalues of packed symmetric 3x3, ascending: (..., 6) -> (..., 3).
+def _unpack6(s: jax.Array):
+    """One (..., 6) -> (6, ...) relayout; components are contiguous."""
+    sT = jnp.moveaxis(s, -1, 0)
+    return tuple(sT[i] for i in range(6))
 
-    Trigonometric solution of the characteristic polynomial. Inputs are
-    pre-scaled by their max magnitude so float32 stays well-conditioned for
-    the tiny covariances a voxel grid produces.
+
+def _scaled6(c):
+    """Pre-scale components by their max magnitude (float32 conditioning
+    for the tiny covariances a voxel grid produces): (comps, scale)."""
+    a = [jnp.abs(x) for x in c]
+    scale = jnp.maximum(
+        jnp.maximum(jnp.maximum(a[0], a[1]), jnp.maximum(a[2], a[3])),
+        jnp.maximum(a[4], jnp.maximum(a[5], _EPS)),
+    )
+    return tuple(x / scale for x in c), scale
+
+
+def _eigvals_c(c):
+    """Eigenvalues from pre-scaled components, ascending 3-tuple.
+
+    Trigonometric solution of the characteristic polynomial; exactly-
+    diagonal inputs (p1 == 0) take the bit-exact sorted-diagonal path.
     """
-    a00, a11, a22, a01, a02, a12 = (s[..., i] for i in range(6))
-    scale = jnp.maximum(jnp.max(jnp.abs(s), axis=-1), _EPS)
-    a00, a11, a22, a01, a02, a12 = (x / scale for x in (a00, a11, a22, a01, a02, a12))
-
+    a00, a11, a22, a01, a02, a12 = c
     q = (a00 + a11 + a22) / 3.0
     p1 = a01 * a01 + a02 * a02 + a12 * a12
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
@@ -70,28 +91,40 @@ def eigvals_sym3(s: jax.Array) -> jax.Array:
     lam_hi = q + 2.0 * p * jnp.cos(phi)
     lam_lo = q + 2.0 * p * jnp.cos(phi + two_pi_3)
     lam_mid = 3.0 * q - lam_hi - lam_lo
-    lams = jnp.stack([lam_lo, lam_mid, lam_hi], axis=-1)
-    # Exactly-diagonal input: analytic path is fine, but make the p1 == 0 case
-    # bit-exact by sorting the diagonal directly.
-    diag_sorted = jnp.sort(jnp.stack([a00, a11, a22], axis=-1), axis=-1)
-    lams = jnp.where((p1 <= _EPS)[..., None], diag_sorted, lams)
-    return lams * scale[..., None]
+    # exactly-diagonal input: sort the diagonal directly (elementwise
+    # 3-sort: min / max / remainder)
+    d_lo = jnp.minimum(jnp.minimum(a00, a11), a22)
+    d_hi = jnp.maximum(jnp.maximum(a00, a11), a22)
+    d_mid = a00 + a11 + a22 - d_lo - d_hi
+    diag = p1 <= _EPS
+    return (
+        jnp.where(diag, d_lo, lam_lo),
+        jnp.where(diag, d_mid, lam_mid),
+        jnp.where(diag, d_hi, lam_hi),
+    )
 
 
-def _projector_column_packed(s: jax.Array, lam_a: jax.Array, lam_b: jax.Array) -> jax.Array:
-    """Largest column of ``(A - lam_a I)(A - lam_b I)`` from PACKED input.
+def eigvals_sym3(s: jax.Array) -> jax.Array:
+    """Eigenvalues of packed symmetric 3x3, ascending: (..., 6) -> (..., 3)."""
+    c, scale = _scaled6(_unpack6(s))
+    lam_lo, lam_mid, lam_hi = _eigvals_c(c)
+    return jnp.stack([lam_lo, lam_mid, lam_hi], axis=-1) * scale[..., None]
+
+
+def _projector_column_c(c, lam_a, lam_b):
+    """Largest column of ``(A - lam_a I)(A - lam_b I)`` from component tuple.
 
     For distinct eigenvalues this product is proportional to the rank-1
     projector onto the remaining eigenvector, so its dominant column IS that
-    eigenvector (up to sign/scale). Fully scalar (packed) arithmetic:
+    eigenvector (up to sign/scale). Fully scalar (per-component) arithmetic:
     ``M = A^2 - (lam_a + lam_b) A + lam_a lam_b I`` — both factors are
     polynomials in A, so M is symmetric and its 6 distinct entries come from
-    elementwise math over the packed columns. The earlier ``einsum`` form
-    materialized (..., 3, 3) stacks whose trailing dims the TPU (8, 128)
-    tiling pads ~40x — 167 ms at the 1.2M-point bench scale for what is
-    ~60 flops/row of VPU work (measured; this form is ~30x faster).
+    elementwise math over the component arrays (an ``einsum`` form
+    materializing (..., 3, 3) stacks, and any per-column re-slicing of the
+    packed array, are lane-padded ~21-40x on TPU — see module docstring).
+    Returns the (vx, vy, vz) component tuple.
     """
-    a00, a11, a22, a01, a02, a12 = (s[..., i] for i in range(6))
+    a00, a11, a22, a01, a02, a12 = c
     t = lam_a + lam_b
     d = lam_a * lam_b
     # A^2 (symmetric): diagonal then upper triangle
@@ -117,14 +150,18 @@ def _projector_column_packed(s: jax.Array, lam_a: jax.Array, lam_b: jax.Array) -
     vx = jnp.where(use2, m02, jnp.where(use1, m01, m00))
     vy = jnp.where(use2, m12, jnp.where(use1, m11, m01))
     vz = jnp.where(use2, m22, jnp.where(use1, m12, m02))
-    return jnp.stack([vx, vy, vz], axis=-1)
+    return vx, vy, vz
 
 
-def _normalize(v: jax.Array, fallback: jax.Array) -> jax.Array:
-    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+def _normalize_c(vx, vy, vz, fb_x, fb_y, fb_z):
+    n2 = vx * vx + vy * vy + vz * vz
     ok = n2 > _EPS
-    v = jnp.where(ok, v * jax.lax.rsqrt(jnp.where(ok, n2, 1.0)), fallback)
-    return v
+    r = jax.lax.rsqrt(jnp.where(ok, n2, 1.0))
+    return (
+        jnp.where(ok, vx * r, fb_x),
+        jnp.where(ok, vy * r, fb_y),
+        jnp.where(ok, vz * r, fb_z),
+    )
 
 
 def smallest_eigvec_sym3(s: jax.Array) -> jax.Array:
@@ -136,12 +173,12 @@ def smallest_eigvec_sym3(s: jax.Array) -> jax.Array:
     in the normal, so sign never affects solver parity (SURVEY §7 hard parts).
     Near-degenerate (isotropic) inputs fall back to +z.
     """
-    scale = jnp.maximum(jnp.max(jnp.abs(s), axis=-1), _EPS)
-    s = s / scale[..., None]
-    lams = eigvals_sym3(s)
-    v = _projector_column_packed(s, lams[..., 2], lams[..., 1])
-    fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=s.dtype), v.shape)
-    return _normalize(v, fallback)
+    c, _ = _scaled6(_unpack6(s))
+    _, lam_mid, lam_hi = _eigvals_c(c)
+    vx, vy, vz = _projector_column_c(c, lam_hi, lam_mid)
+    zero = jnp.zeros_like(vx)
+    vx, vy, vz = _normalize_c(vx, vy, vz, zero, zero, jnp.ones_like(vx))
+    return jnp.stack([vx, vy, vz], axis=-1)
 
 
 def eigh_sym3(s: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -149,18 +186,27 @@ def eigh_sym3(s: jax.Array) -> tuple[jax.Array, jax.Array]:
     an orthonormal eigenvector matrix with columns ``V[..., :, i]`` matching
     ``np.linalg.eigh`` conventions: (..., 6) -> ((..., 3), (..., 3, 3)).
     """
-    scale = jnp.maximum(jnp.max(jnp.abs(s), axis=-1), _EPS)
-    sn = s / scale[..., None]
-    lams = eigvals_sym3(sn)
-    v_lo = _projector_column_packed(sn, lams[..., 2], lams[..., 1])
-    v_hi = _projector_column_packed(sn, lams[..., 0], lams[..., 1])
-    z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=s.dtype), v_lo.shape)
-    x = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=s.dtype), v_lo.shape)
-    v_lo = _normalize(v_lo, z)
-    v_hi = _normalize(v_hi, x)
-    # Re-orthogonalize v_hi against v_lo (defensive for near-degenerate input),
-    # then complete the right-handed frame.
-    v_hi = _normalize(v_hi - jnp.sum(v_hi * v_lo, axis=-1, keepdims=True) * v_lo, x)
-    v_mid = jnp.cross(v_hi, v_lo)
+    c, scale = _scaled6(_unpack6(s))
+    lam_lo, lam_mid, lam_hi = _eigvals_c(c)
+    lams = jnp.stack([lam_lo, lam_mid, lam_hi], axis=-1) * scale[..., None]
+    zero = jnp.zeros_like(lam_lo)
+    one = jnp.ones_like(lam_lo)
+    lx, ly, lz = _projector_column_c(c, lam_hi, lam_mid)
+    lx, ly, lz = _normalize_c(lx, ly, lz, zero, zero, one)
+    hx, hy, hz = _projector_column_c(c, lam_lo, lam_mid)
+    hx, hy, hz = _normalize_c(hx, hy, hz, one, zero, zero)
+    # Re-orthogonalize v_hi against v_lo (defensive for near-degenerate
+    # input), then complete the right-handed frame.
+    dot = hx * lx + hy * ly + hz * lz
+    hx, hy, hz = _normalize_c(
+        hx - dot * lx, hy - dot * ly, hz - dot * lz, one, zero, zero
+    )
+    # v_mid = v_hi x v_lo
+    mx = hy * lz - hz * ly
+    my = hz * lx - hx * lz
+    mz = hx * ly - hy * lx
+    v_lo = jnp.stack([lx, ly, lz], axis=-1)
+    v_mid = jnp.stack([mx, my, mz], axis=-1)
+    v_hi = jnp.stack([hx, hy, hz], axis=-1)
     V = jnp.stack([v_lo, v_mid, v_hi], axis=-1)
-    return lams * scale[..., None], V
+    return lams, V

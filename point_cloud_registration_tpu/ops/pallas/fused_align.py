@@ -393,13 +393,19 @@ def _make_kernel(spec: FusedSpec):
         nt = pl.num_programs(0)
         slot = jax.lax.rem(i, 2)
         nslot = jax.lax.rem(i + 1, 2)
-        ox = orig_ref[i, 0]
-        oy = orig_ref[i, 1]
+        # Per-tile scalars arrive FLATTENED 1-D ((n_tiles*2,) origins,
+        # (n_tiles*9,) rotations): SMEM pads the minor dim of a 2-D
+        # prefetch operand to 128 lanes, so (n_tiles, 3)/(n_tiles, 9)
+        # operands cost n_tiles*512 B EACH — 1.07 MB of the chip's 1 MB
+        # SMEM at 1096 tiles (the measured batched B=32 / tq=128 OOM).
+        # Flat layout: 44 B/tile total.
+        ox = orig_ref[2 * i]
+        oy = orig_ref[2 * i + 1]
 
         def dma(t, sl):
             t = jnp.minimum(t, nt - 1)
-            ox_ = orig_ref[t, 0]
-            oy_ = orig_ref[t, 1]
+            ox_ = orig_ref[2 * t]
+            oy_ = orig_ref[2 * t + 1]
             return pltpu.make_async_copy(
                 tab.at[pl.ds(oy_, RY), :, pl.ds(pl.multiple_of(ox_ * WT, 128), RX * WT)],
                 reg.at[sl],
@@ -527,7 +533,7 @@ def _make_kernel(spec: FusedSpec):
         best_tz = pick(2 * NC)
         feats = tuple(pick(WA + f * NC) for f in range(F))
 
-        rf = tuple(rflat_ref[i, k] for k in range(9))  # per-tile rotation
+        rf = tuple(rflat_ref[9 * i + k] for k in range(9))  # per-tile rotation
         C = _linearize_and_reduce(
             spec, q, p, wq, best_tx, best_ty, best_tz, feats, rf, a_buf
         )
@@ -625,7 +631,9 @@ def fused_stats_call(spec: FusedSpec, tab, q, p, w, rflat, *, interpret=False,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(origins, rflat, q, p, w[:, None], tab)
+        # flattened 1-D per-tile scalars: see the SMEM padding note in the
+        # kernel (2-D prefetch operands pad rows to 128 lanes)
+    )(origins[:, :2].reshape(-1), rflat.reshape(-1), q, p, w[:, None], tab)
     unresolved = unres[:, 0, :].reshape(n_pad)[:n] > 0
     if per_tile:
         return stats, unresolved

@@ -575,7 +575,10 @@ def _make_point_kernel(spec: PointFusedSpec):
         best_tz = pick(2 * NC)
         feats = tuple(pick(WA + f * NC) for f in range(F))
 
-        rf = tuple(rflat_ref[i, k] for k in range(9))
+        # flattened 1-D prefetch: a 2-D (n_tiles, 9) SMEM operand pads each
+        # row to 128 lanes (n_tiles * 512 B), overflowing the 1 MB SMEM at
+        # large batched tile counts; flat costs 36 B/tile
+        rf = tuple(rflat_ref[9 * i + k] for k in range(9))
         C = _linearize_and_reduce(
             spec, q, p, wq, best_tx, best_ty, best_tz, feats, rf, a_buf
         )
@@ -650,7 +653,7 @@ def point_stats_call(spec: PointFusedSpec, keys, tab, q, p, w, rflat, *,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(rflat, q, p, w[:, None], keys[:, None, :], tab)
+    )(rflat.reshape(-1), q, p, w[:, None], keys[:, None, :], tab)
     unresolved = unres[:, 0, :].reshape(n_pad)[:n] > 0
     if per_tile:
         return stats, unresolved
