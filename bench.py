@@ -398,57 +398,49 @@ def roofline_report(jax, jnp, map_pts, scan, voxel_size, max_dist):
         }
     )
 
-    # raw-point fused kernel (ICP hot path): one stats iteration, amortized
+    # raw-point fused path (ICP hot loop): per-iteration cost via the
+    # SOLVER'S OWN align program — max_iter=1 vs max_iter=1+REP at tol=0,
+    # difference / REP. This includes the fallback tiers (the honest
+    # steady-state per-iteration price) and compiles nothing beyond the
+    # align program itself: every standalone re-expression of the one-time
+    # phase (fori_loop around point_stats_call, standalone tile-table
+    # build) exceeded the remote-compile relay's request-size limit
+    # (HTTP 413) at bench scale.
     try:
+        import dataclasses as _dc
+
         from point_cloud_registration_tpu.core.config import ICPConfig
         from point_cloud_registration_tpu.models.icp import build_icp_target
         from point_cloud_registration_tpu.models._point_fused import (
+            fused_point_align,
             target_fused_rows,
         )
         from point_cloud_registration_tpu.ops.pallas.point_align import (
-            build_tile_tables_dense,
-            morton_layout,
             padded_point_capacity,
             point_fused_spec,
-            point_stats_call,
         )
 
         icp_cfg = ICPConfig(max_dist=max_dist)
         tgt = build_icp_target(map_pts, icp_cfg)
-        # same spec parameters as the solver/batched path: the default swept
-        # spec at bench scale produced a compile payload past the remote
-        # relay's body limit (HTTP 413 in the r5 run); tq=128/cb=512 with
-        # dense fused rows is the configuration measured live elsewhere
+        # same spec parameters as the solver/batched path (the default swept
+        # spec may differ; this one is the configuration measured live)
         pspec = point_fused_spec(tgt.packed, "point", max_dist,
                                  tq=128, cb=512, radius=1)
-        # dense fused rows, same as the solver path: the per-tile 5-D
-        # gather/transpose build materializes a trailing-dim-4 intermediate
-        # that the (8, 128) HBM tiling pads ~32x — 17 GB at bench scale, a
-        # guaranteed compile-time OOM (this async error was r4's phantom
-        # "normals degraded" row: it surfaced at the next block_until_ready)
         pfrows = target_fused_rows(pspec, tgt.packed)
         if pspec is not None and pfrows is not None:
-            npts = scan.shape[0]
-            pos = morton_layout(pspec, q0)
-            n_cap = padded_point_capacity(pspec, npts)
-            ps = jnp.zeros((n_cap, 3), jnp.float32).at[pos].set(scan)
-            ws = jnp.zeros((n_cap,), jnp.float32).at[pos].set(1.0)
-            qs = ps  # identity transform
-            keys, _, tab = build_tile_tables_dense(
-                pspec, pfrows[0], pfrows[1], qs, ws
-            )
-            jax.block_until_ready((keys, tab))
+            w1 = jnp.ones((scan.shape[0],), jnp.float32)
+            PREP = 12
 
-            @jax.jit
-            def loop_point():
-                def body(i, acc):
-                    C, _ = point_stats_call(
-                        pspec, keys, tab, qs + acc * 0, ps, ws, rflat
-                    )
-                    return acc + C[0, 0] * 1e-20
-                return jax.lax.fori_loop(0, REP, body, 0.0)
+            def align_iters(max_iter):
+                cfg_i = _dc.replace(icp_cfg, max_iter=max_iter, tol=0.0)
+                T, _ = fused_point_align(tgt, None, scan, w1, I4, cfg_i,
+                                         pspec, frows=pfrows)
+                return T
 
-            t_pt = best(lambda: loop_point()) / REP
+            t1 = best(lambda: align_iters(1))
+            tn = best(lambda: align_iters(1 + PREP))
+            t_pt = max(tn - t1, 1e-6) / PREP
+            n_cap = padded_point_capacity(pspec, scan.shape[0])
             tiles_p = n_cap // pspec.tq
             WAp = 3 * pspec.cs
             Wp = pspec.row_width
