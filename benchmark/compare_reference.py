@@ -103,7 +103,18 @@ def run_scene(ref, make_map, args):
         ("NDT", lambda m: m.NDT(voxel_size=1.0, **params), {}),
     ]
 
-    print(f"{'method':12s} {'ref CPU (s)':>12s} {'ours (s)':>10s} {'speedup':>8s} {'|dT|max':>9s}")
+    # Ground-truth accuracy: the scan is map + t_true + noise
+    # (bench.make_scan), so align should recover inv(T_true). When |dT|
+    # between the two implementations exceeds the parity budget on a
+    # multi-modal scene (near-duplicate LiDAR returns), these columns say
+    # whether ours converged somewhere WORSE or merely different.
+    T_true = np.eye(4)
+    T_true[:3, 3] = [0.0, 0.0, 0.3]
+
+    def gt_err(T):
+        return np.abs(np.asarray(T, np.float64) @ T_true - np.eye(4)).max()
+
+    print(f"{'method':12s} {'ref CPU (s)':>12s} {'ours (s)':>10s} {'speedup':>8s} {'|dT|max':>9s} {'gt ref':>8s} {'gt ours':>8s}")
     for name, ctor, _ in cases:
         t0 = time.perf_counter()
         solver_ref = ctor(ref)
@@ -121,7 +132,7 @@ def run_scene(ref, make_map, args):
         t_ours = time.perf_counter() - t0
 
         dT = np.abs(np.asarray(T_ours) - np.asarray(T_ref)).max()
-        print(f"{name:12s} {t_ref:12.3f} {t_ours:10.3f} {t_ref / t_ours:7.1f}x {dT:9.5f}")
+        print(f"{name:12s} {t_ref:12.3f} {t_ours:10.3f} {t_ref / t_ours:7.1f}x {dT:9.5f} {gt_err(T_ref):8.5f} {gt_err(T_ours):8.5f}")
 
     # PlaneICP under the reference's own protocol (speed_test_comparison.py:
     # 25-34): kd-tree + normals precomputed and injected, timing covers
@@ -158,7 +169,7 @@ def run_scene(ref, make_map, args):
     T_ours = p_ours2.align(scan_dev)
     t_ours = time.perf_counter() - t0
     dT = np.abs(np.asarray(T_ours) - np.asarray(T_ref)).max()
-    print(f"{'PlaneICP':12s} {t_ref:12.3f} {t_ours:10.3f} {t_ref / t_ours:7.1f}x {dT:9.5f}")
+    print(f"{'PlaneICP':12s} {t_ref:12.3f} {t_ours:10.3f} {t_ref / t_ours:7.1f}x {dT:9.5f} {gt_err(T_ref):8.5f} {gt_err(T_ours):8.5f}")
 
     # PlaneICP with SHARED normals (the reference's own normal field injected
     # into our solver): isolates solver-trajectory parity from normal-field

@@ -168,6 +168,14 @@ def estimate_normals(
     return nrm
 
 
+# kernel-tier shapes (hardware-swept at the 1.2M bench scale; module-level
+# so sweeps can override without editing call sites): base = radius-2 pass
+# over every point, wide = radius-4 exactness re-search of the compacted
+# non-exact tail
+_BASE_SPEC_PARAMS = dict(radius=2, tq=256, cb=256)
+_WIDE_SPEC_PARAMS = dict(radius=4, tq=128, cb=384)
+
+
 def _estimate_normals_fused(points, k, cell_size, interpret,
                             exact_tail=True, return_info=False,
                             cell_cap=None):
@@ -200,13 +208,13 @@ def _estimate_normals_fused(points, k, cell_size, interpret,
     # tq 256 halves the per-tile table gather vs 128 at identical kernel
     # cost; its ~3% tile key-list overflow lands ~4k queries on the
     # compacted fallback (cap 8k) — measured at bench scale
-    spec = knn_moments_spec(pg, radius=2, tq=256, cb=256)
+    spec = knn_moments_spec(pg, **_BASE_SPEC_PARAMS)
     if spec is None:
         return None
     if dense_rows_bytes(spec) > (1 << 31):  # dense fused table guard: 2 GB
         return None
     spec_wide = (
-        knn_moments_spec(pg, radius=4, tq=128, cb=384) if exact_tail else None
+        knn_moments_spec(pg, **_WIDE_SPEC_PARAMS) if exact_tail else None
     )
     normals, exact = _fused_normals_jit(pg, points, k, spec, spec_wide, interpret)
     if return_info:

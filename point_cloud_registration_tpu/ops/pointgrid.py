@@ -158,15 +158,31 @@ def _keys_sort_count(points, cell_fine, feats=None, overflow_caps=None):
     if feats is not None:
         points = jnp.concatenate([points, jnp.asarray(feats, jnp.float32)], axis=1)
     w = points.shape[1]
+    arange = jnp.arange(n, dtype=jnp.int32)
+    # Secondary sort key = hashed index, so the within-block order is
+    # deterministic pseudo-random. A stable key-only sort keeps INPUT order
+    # inside each block, and input order is spatially correlated (scene
+    # generators and real LiDAR logs emit points ring-by-ring), so the
+    # packer's cap truncation kept a spatially-clustered CORNER subsample
+    # of each over-full block. Measured on the ray-cast LiDAR family
+    # (range-skewed density, 61% of the map over cap): +9.5 cm mean NN
+    # excess with a nonzero mean residual that biased converged ICP 1.5 cm
+    # off ground truth. Hashing makes the kept cap points a uniform
+    # subsample of the block — the NN error becomes ~zero-mean noise that
+    # the 100k-point GN reduction averages away.
+    x = arange
+    x = (x ^ (x >> 16)) * jnp.int32(0x45D9F3B)
+    x = (x ^ (x >> 16)) * jnp.int32(0x45D9F3B)
+    h = x ^ (x >> 16)
     ops = (
-        (bkeys,)
+        (bkeys, h)
         + tuple(points[:, i] for i in range(w))
-        + (jnp.arange(n, dtype=jnp.int32),)
+        + (arange,)
     )
-    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
+    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=2, is_stable=True)
     skey = sorted_ops[0]
-    spts = jnp.stack(sorted_ops[1 : 1 + w], axis=-1)
-    sidx = sorted_ops[1 + w]
+    spts = jnp.stack(sorted_ops[2 : 2 + w], axis=-1)
+    sidx = sorted_ops[2 + w]
     n_occ = jnp.sum(skey[1:] != skey[:-1]) + 1
     meta = [lo_f, nb, n_occ[None]]
     if overflow_caps is not None:
