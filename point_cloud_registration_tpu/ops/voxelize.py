@@ -911,11 +911,16 @@ def voxel_filter(points, voxel_size: float) -> np.ndarray:
     state; an under-covering hint triggers one exact redo.
     """
     means, n_cells, nd = voxel_filter_device_deferred(points, voxel_size)
-    n_cells, means_np, nd = jax.device_get((n_cells, means, nd))
+    n_cells, nd = jax.device_get((n_cells, nd))
     if int(nd) > 0:
         means, n_cells = voxel_filter_device(points, voxel_size)
-        n_cells, means_np = jax.device_get((n_cells, means))
-    return np.asarray(means_np)[: int(n_cells)].astype(np.float32)
+        n_cells = jax.device_get(n_cells)
+    # Transfer ONLY the live rows, in a second sync: the capacity-padded
+    # array is ~5x the compacted result at bench scale (12.6 MB vs 2.4 MB)
+    # and host transfer is bandwidth-bound — the count-first round trip
+    # costs ~25 ms, the padding it avoids ~300 ms (measured r5).
+    means_np = jax.device_get(means[: int(n_cells)])
+    return np.asarray(means_np).astype(np.float32)
 
 
 def color_by_voxel(points, voxel_size: float) -> np.recarray:
