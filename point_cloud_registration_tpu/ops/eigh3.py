@@ -17,7 +17,7 @@ array is lane-strided — the (8, 128) tile pads dim 6 to 128 lanes, so six
 such reads re-read the padded array six times (a standalone 1.2M-row
 eigensolve measured 94 ms for ~60 flops/row). All internals therefore
 unpack ONCE via a single (..., 6) -> (6, ...) relayout and compute on
-contiguous per-component arrays (measured ~20x faster standalone; inside a
+contiguous per-component arrays (measured 14x faster standalone: 94 -> 6.6 ms; inside a
 fused build program XLA fuses either form, so the public API is unchanged).
 """
 
