@@ -837,6 +837,8 @@ def main():
             f"{B / t_batch:.1f} registrations/s, {B * n_b / t_batch / 1e6:.2f} Mpts/s"
         )
         results["batched_regs_per_s"] = (B / t_batch, float("nan"))
+        # BASELINE.json protocol asks for points/s alongside registrations/s
+        results["batched_mpts_per_s"] = (B * n_b / t_batch / 1e6, float("nan"))
 
         # batched raw-point stream (ICP) on the tile-local CSR kernel
         from point_cloud_registration_tpu.core.config import ICPConfig
